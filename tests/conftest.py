@@ -1,0 +1,29 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Multi-chip sharding paths are validated on virtual CPU devices
+(`xla_force_host_platform_device_count`), mirroring how the driver
+dry-runs `dryrun_multichip`.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def add_reference_to_path():
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
