@@ -1,0 +1,284 @@
+"""MLD pipeline: two-stage motion latent diffusion, compiled as single XLA
+programs per capability.
+
+The reference orchestrates stage dispatch inside a LightningModule
+(mld/models/modeltype/mld.py:27-912) with a Python DDIM loop
+(mld.py:323-346). Here each capability is one jitted pure function over a
+params pytree:
+
+  * generate():   token_ids -> CLIP -> [50-step lax.scan DDIM + CFG]
+                  -> VAE decode -> de-norm -> recover_from_ric -> joints
+  * encode/decode(): VAE halves (stage-1 training / latent tools)
+  * diffusion training-step pieces live in train/steps.py
+
+Conventions: batch-first; latents [B, latent_size, latent_dim]; masks
+[B, T] bool True=valid; normalization stats are module constants folded
+into the compiled program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mld_tpu.config import Config
+from mld_tpu.data.humanml.motion_process import recover_from_ric
+from mld_tpu.diffusion.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DiffusionSchedule,
+)
+from mld_tpu.models.clip_text import CLIP_CONTEXT, ClipTextModel, ClipTokenizer
+from mld_tpu.models.denoiser import MldDenoiser
+from mld_tpu.models.vae import MldVae
+
+
+def lengths_to_mask(lengths, max_len: int) -> jnp.ndarray:
+    """[B] -> [B, max_len] bool (temos_utils.lengths_to_mask semantics)."""
+    lengths = jnp.asarray(lengths)
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+class MLD:
+    """Builds the module set from a Config and exposes jitted capabilities."""
+
+    def __init__(self, cfg: Config, mean: Optional[np.ndarray] = None,
+                 std: Optional[np.ndarray] = None,
+                 mean_eval: Optional[np.ndarray] = None,
+                 std_eval: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        m = cfg.model
+        nfeats = cfg.dataset.nfeats
+        self.nfeats = nfeats
+        self.njoints = cfg.dataset.njoints
+        self.max_frames = cfg.dataset.max_motion_len
+        self.latent_size = m.latent_size
+        self.latent_dim = m.latent_dim
+        self.guidance_scale = m.guidance_scale
+        self.do_cfg = m.guidance_scale > 1.0
+        self.is_vae = m.vae and m.vae_type != "no"
+        self.condition = m.condition
+        self.dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
+
+        # normalization stats (dataset Mean/Std; eval twin for t2m evaluators)
+        self.mean = jnp.asarray(mean if mean is not None
+                                else np.zeros(nfeats), jnp.float32)
+        self.std = jnp.asarray(std if std is not None
+                               else np.ones(nfeats), jnp.float32)
+        self.mean_eval = jnp.asarray(mean_eval if mean_eval is not None
+                                     else np.zeros(nfeats), jnp.float32)
+        self.std_eval = jnp.asarray(std_eval if std_eval is not None
+                                    else np.ones(nfeats), jnp.float32)
+
+        if self.is_vae:
+            self.vae = MldVae(
+                nfeats=nfeats, latent_size=m.latent_size,
+                latent_dim=m.latent_dim, ff_size=m.ff_size,
+                num_layers=m.num_layers, num_heads=m.num_heads,
+                dropout=m.dropout, arch=m.vae_arch,
+                normalize_before=m.normalize_before, activation=m.activation,
+                position_embedding=m.position_embedding)
+        else:
+            self.vae = None
+
+        self.denoiser = MldDenoiser(
+            nfeats=nfeats, condition=m.condition, latent_size=m.latent_size,
+            latent_dim=m.latent_dim, ff_size=m.ff_size,
+            num_layers=m.denoiser_num_layers, num_heads=m.num_heads,
+            dropout=m.dropout, normalize_before=m.normalize_before,
+            activation=m.activation, position_embedding=m.position_embedding,
+            arch=m.denoiser_arch, skip_connect=m.skip_connect,
+            diffusion_only=not self.is_vae, text_encoded_dim=m.text_encoded_dim,
+            nclasses=m.nclasses, guidance_scale=m.guidance_scale,
+            guidance_uncondp=m.guidance_uncondp)
+
+        sched_cfg = m.scheduler
+        prediction_type = ("epsilon" if cfg.train.predict_epsilon
+                           else "sample")
+        self.schedule = DiffusionSchedule.create(
+            sched_cfg.num_train_timesteps, sched_cfg.beta_start,
+            sched_cfg.beta_end, sched_cfg.beta_schedule, prediction_type,
+            sched_cfg.clip_sample)
+        self.scheduler = (
+            DDIMScheduler(self.schedule, sched_cfg.num_inference_timesteps,
+                          sched_cfg.eta, sched_cfg.steps_offset,
+                          sched_cfg.set_alpha_to_one)
+            if sched_cfg.kind == "ddim"
+            else DDPMScheduler(self.schedule, sched_cfg.variance_type))
+        self.noise_scheduler = DDPMScheduler(self.schedule,
+                                             sched_cfg.variance_type)
+
+        # frozen text tower (text conditions only)
+        if m.condition in ("text", "text_uncond"):
+            self.clip = ClipTextModel(width=m.text_encoded_dim,
+                                      layers=m.clip_layers,
+                                      heads=m.clip_heads,
+                                      projection_dim=m.text_encoded_dim)
+            self.clip_mode = "hidden" if m.clip_last_hidden else "features"
+            self.tokenizer = ClipTokenizer(m.clip_path)
+            self.uncond_ids = jnp.asarray(self.tokenizer([""]))
+        else:
+            self.clip = None
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng: jax.Array, clip_params=None) -> dict:
+        rngs = jax.random.split(rng, 4)
+        params = {}
+        B, T = 2, self.max_frames
+        feats = jnp.zeros((B, T, self.nfeats))
+        mask = jnp.ones((B, T), bool)
+        if self.is_vae:
+            params["vae"] = self.vae.init(
+                {"params": rngs[0]}, feats, mask)["params"]
+        if self.condition in ("text", "text_uncond"):
+            cond = jnp.zeros((B, 1, self.cfg.model.text_encoded_dim))
+        else:
+            cond = jnp.zeros((B,), jnp.int32)
+        sample = (jnp.zeros((B, self.latent_size, self.latent_dim))
+                  if self.is_vae else feats)
+        params["denoiser"] = self.denoiser.init(
+            {"params": rngs[1]}, sample, jnp.asarray(0), cond,
+            mask if not self.is_vae else None)["params"]
+        if self.clip is not None:
+            if clip_params is None:
+                ids = jnp.zeros((1, CLIP_CONTEXT), jnp.int32)
+                clip_params = self.clip.init({"params": rngs[2]}, ids)["params"]
+            params["clip"] = clip_params
+        return params
+
+    # --------------------------------------------------------------- text emb
+    def encode_text_tokens(self, params, token_ids):
+        """[B, 77] ids -> [B, S_text, text_dim] (jit-able)."""
+        out = self.clip.apply({"params": params["clip"]}, token_ids,
+                              mode=self.clip_mode)
+        if self.clip_mode == "features":
+            out = out[:, None, :]
+        return out
+
+    def encode_text(self, params, texts):
+        return self.encode_text_tokens(params,
+                                       jnp.asarray(self.tokenizer(texts)))
+
+    # ----------------------------------------------------------------- stages
+    def encode_motion(self, params, feats, mask, rng=None, sample_mean=False,
+                      fact: float = 1.0):
+        """VAE encode -> (z, (mu, logvar))."""
+        return self.vae.apply({"params": params["vae"]}, feats, mask,
+                              rng, sample_mean=sample_mean, fact=fact,
+                              method=self.vae.encode)
+
+    def decode_latent(self, params, z, mask):
+        return self.vae.apply({"params": params["vae"]}, z, mask,
+                              method=self.vae.decode)
+
+    def denoise(self, params, sample, t, cond_emb, mask=None):
+        return self.denoiser.apply({"params": params["denoiser"]}, sample, t,
+                                   cond_emb, mask)
+
+    # -------------------------------------------------------------- sampling
+    def _init_latents(self, rng, batch_size, mask):
+        if self.is_vae:
+            shape = (batch_size, self.latent_size, self.latent_dim)
+        else:
+            shape = (batch_size, mask.shape[1], self.nfeats)
+        return (jax.random.normal(rng, shape, jnp.float32)
+                * self.scheduler.init_noise_sigma)
+
+    def diffusion_reverse(self, params, cond_emb, mask, rng):
+        """Full reverse process as one lax.scan (the reference's Python loop,
+        mld.py:323-346, fused into a single XLA while-program).
+
+        cond_emb: [2B, S, D] when CFG (uncond half FIRST, mld.py:224-230)
+        else [B, S, D]. Returns latents [B, latent_size, latent_dim]
+        (or [B, T, nfeats] for no-VAE).
+        """
+        B = cond_emb.shape[0] // 2 if self.do_cfg else cond_emb.shape[0]
+        rng, init_rng = jax.random.split(rng)
+        latents = self._init_latents(init_rng, B, mask)
+        timesteps = jnp.asarray(self.scheduler.timesteps())
+        step_rngs = jax.random.split(rng, timesteps.shape[0])
+
+        mask2 = jnp.concatenate([mask, mask], 0) if self.do_cfg else mask
+        is_ancestral = isinstance(self.scheduler, DDPMScheduler)
+
+        def body(latents, inp):
+            t, srng = inp
+            model_in = (jnp.concatenate([latents, latents], 0)
+                        if self.do_cfg else latents)
+            out = self.denoise(params, model_in, t, cond_emb, mask2)
+            if self.do_cfg:
+                out_uncond, out_text = jnp.split(out, 2, axis=0)
+                out = out_uncond + self.guidance_scale * (
+                    out_text - out_uncond)
+            noise = (jax.random.normal(srng, latents.shape, latents.dtype)
+                     if is_ancestral else None)
+            latents = self.scheduler.step(out, t, latents, noise)
+            return latents, None
+
+        latents, _ = jax.lax.scan(body, latents, (timesteps, step_rngs))
+        return latents
+
+    def _generate_impl(self, params, token_ids_or_actions, mask, rng):
+        if self.condition in ("text", "text_uncond"):
+            token_ids = token_ids_or_actions
+            if self.do_cfg:
+                B = token_ids.shape[0]
+                uncond = jnp.broadcast_to(self.uncond_ids,
+                                          (B, CLIP_CONTEXT))
+                if self.condition == "text_uncond":
+                    token_ids = uncond
+                all_ids = jnp.concatenate([uncond, token_ids], 0)
+            else:
+                all_ids = token_ids
+            cond_emb = self.encode_text_tokens(params, all_ids)
+        else:
+            actions = token_ids_or_actions
+            if self.do_cfg:
+                cond_emb = jnp.concatenate(
+                    [jnp.zeros_like(actions), actions], 0)
+            else:
+                cond_emb = actions
+
+        z = self.diffusion_reverse(params, cond_emb, mask, rng)
+        if self.is_vae:
+            feats = self.decode_latent(params, z, mask)
+        else:
+            feats = z * mask[..., None]
+        return feats
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def generate_feats(self, params, token_ids, mask, rng):
+        """prompt tokens -> normalized motion features (one XLA program)."""
+        return self._generate_impl(params, token_ids, mask, rng)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def generate_joints(self, params, token_ids, mask, rng):
+        """prompt tokens -> [B, T, njoints, 3] joints, zero outside mask."""
+        feats = self._generate_impl(params, token_ids, mask, rng)
+        joints = self.feats2joints(feats)
+        return joints * mask[..., None, None]
+
+    # ------------------------------------------------------------- transforms
+    def feats2joints(self, feats):
+        """de-normalize + RIC decode (HumanML3D.py:41-45 semantics), jnp."""
+        feats = feats * self.std + self.mean
+        return recover_from_ric(feats, self.njoints)
+
+    def renorm4t2m(self, feats):
+        """model-normalization -> t2m-evaluator normalization
+        (HumanML3D.py:54-62)."""
+        feats = feats * self.std + self.mean
+        return (feats - self.mean_eval) / self.std_eval
+
+    # ------------------------------------------------------------ convenience
+    def generate(self, params, texts, lengths, rng):
+        """Host convenience wrapper: list[str] + list[int] -> list of
+        [len, J, 3] numpy arrays (remove_padding semantics)."""
+        mask = lengths_to_mask(jnp.asarray(lengths), self.max_frames)
+        token_ids = jnp.asarray(self.tokenizer(texts))
+        joints = self.generate_joints(params, token_ids, mask, rng)
+        joints = np.asarray(joints)
+        return [joints[i, : int(l)] for i, l in enumerate(lengths)]
