@@ -1,0 +1,156 @@
+"""Jit-compiled training steps for both stages.
+
+Replaces the Lightning step dispatch (mld/models/modeltype/mld.py:811-912 +
+train_vae_forward:476 / train_diffusion_forward:522) with pure functions over
+(TrainState, batch, rng). Frozen submodules (VAE during diffusion stage, CLIP
+always) are carried in `state.frozen` and never receive gradients.
+
+Data-parallel: the step is jitted with batch sharded along the mesh "data"
+axis and params replicated; XLA inserts the gradient all-reduce over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mld_tpu.losses.mld import (
+    diffusion_losses,
+    kl_standard_normal,
+    mse,
+    smooth_l1,
+    vae_losses,
+)
+from mld_tpu.models.mld import MLD
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any                # trainable params subtree
+    frozen: Any                # frozen params (vae in stage-2, clip, ...)
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_optimizer(lr: float = 1e-4,
+                   weight_decay: float = 1e-2) -> optax.GradientTransformation:
+    """AdamW with torch-default hyperparams (mld.py:88-90 uses torch AdamW)."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=weight_decay)
+
+
+def create_train_state(mld: MLD, params: Dict, stage: str,
+                       tx: Optional[optax.GradientTransformation] = None
+                       ) -> TrainState:
+    tx = tx or make_optimizer(mld.cfg.train.lr)
+    if stage == "vae":
+        trainable = {"vae": params["vae"]}
+        frozen = {k: v for k, v in params.items() if k != "vae"}
+    elif stage == "diffusion":
+        trainable = {"denoiser": params["denoiser"]}
+        frozen = {k: v for k, v in params.items() if k != "denoiser"}
+    elif stage == "vae_diffusion":
+        trainable = {k: params[k] for k in ("vae", "denoiser") if k in params}
+        frozen = {k: v for k, v in params.items() if k not in trainable}
+    else:
+        raise ValueError(f"stage {stage} not supported")
+    return TrainState(step=jnp.zeros((), jnp.int32), params=trainable,
+                      frozen=frozen, opt_state=tx.init(trainable), tx=tx)
+
+
+def full_params(state: TrainState) -> Dict:
+    return {**state.frozen, **state.params}
+
+
+# --------------------------------------------------------------------- stages
+def vae_loss(mld: MLD, trainable, frozen, batch, rng):
+    params = {**frozen, **trainable}
+    feats_ref = batch["motion"]
+    mask = batch["mask"]
+    rng_z, _ = jax.random.split(rng)
+    z, (mu, logvar) = mld.encode_motion(params, feats_ref, mask, rng_z)
+    feats_rst = mld.decode_latent(params, z, mask)
+    joints_rst = mld.feats2joints(feats_rst)
+    joints_ref = mld.feats2joints(feats_ref)
+    total, logs = vae_losses(feats_rst, feats_ref, joints_rst, joints_ref,
+                             mu, logvar, mld.cfg.loss)
+    return total, logs
+
+
+def diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
+    params = {**frozen, **trainable}
+    feats_ref = batch["motion"]
+    mask = batch["mask"]
+    B = feats_ref.shape[0]
+    rng_z, rng_drop, rng_noise, rng_t, rng_cond = jax.random.split(rng, 5)
+
+    # latent (stop-grad through frozen VAE; mld.py:526-528)
+    if mld.is_vae:
+        z, _ = mld.encode_motion(params, feats_ref, mask, rng_z)
+        z = jax.lax.stop_gradient(z)
+    else:
+        z = feats_ref
+
+    # condition with classifier-free-guidance drop (mld.py:536-541)
+    if mld.condition in ("text", "text_uncond"):
+        cond = mld.encode_text_tokens(params, batch["text_ids"])
+        uncond = mld.encode_text_tokens(
+            params, jnp.broadcast_to(mld.uncond_ids,
+                                     batch["text_ids"].shape))
+        drop = jax.random.bernoulli(
+            rng_drop, mld.cfg.model.guidance_uncondp, (B, 1, 1))
+        cond_emb = jnp.where(drop, uncond, cond)
+        cond_emb = jax.lax.stop_gradient(cond_emb)
+    else:
+        cond_emb = batch["action"]
+
+    noise = jax.random.normal(rng_noise, z.shape, z.dtype)
+    t = jax.random.randint(rng_t, (B,), 0,
+                           mld.schedule.num_train_timesteps)
+    noisy = mld.noise_scheduler.add_noise(z, noise, t)
+    pred = mld.denoiser.apply(
+        {"params": params["denoiser"]}, noisy, t, cond_emb,
+        mask if not mld.is_vae else None, training=True, cond_rng=rng_cond)
+
+    predict_epsilon = mld.cfg.train.predict_epsilon
+    target = noise if predict_epsilon else z
+    total, logs = diffusion_losses(pred, target, mld.cfg.loss,
+                                   predict_epsilon)
+    return total, logs
+
+
+def make_train_step(mld: MLD, stage: str, donate: bool = True):
+    """Returns jitted step: (state, batch, rng) -> (state, logs)."""
+    loss_fn = {"vae": vae_loss, "diffusion": diffusion_loss}[stage]
+
+    def step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(mld, p, state.frozen, batch, rng),
+            has_aux=True)
+        (_, logs), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads)
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(mld: MLD, stage: str):
+    loss_fn = {"vae": vae_loss, "diffusion": diffusion_loss}[stage]
+
+    def step(state: TrainState, batch, rng):
+        _, logs = loss_fn(mld, state.params, state.frozen, batch, rng)
+        return logs
+
+    return jax.jit(step)
