@@ -1,0 +1,65 @@
+"""Benchmark: batched text->motion sampling throughput on one TPU chip.
+
+Measures the headline capability (BASELINE.md): HumanML3D prompt->motion with
+DDIM-50 + CFG through the full jitted pipeline (CLIP ViT-L text tower ->
+50-step denoiser scan -> VAE decode -> RIC joint recovery), flagship model
+size. Baseline: the paper's AITS 0.217 s/motion on V100
+(arXiv 2212.04048 Tab. 6, cited in BASELINE.md) -> 4.608 motions/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MOTIONS_PER_SEC = 1.0 / 0.217  # reference AITS on V100
+
+
+def main():
+    from mld_tpu.config import load_config
+    from mld_tpu.models.mld import MLD, lengths_to_mask
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    cfg = load_config(preset="mld_humanml3d")
+    mld = MLD(cfg)
+    params = mld.init_params(jax.random.PRNGKey(0))
+
+    T = cfg.dataset.max_motion_len
+    prompts = ["a person walks forward and waves both hands"] * batch_size
+    token_ids = jnp.asarray(mld.tokenizer(prompts))
+    lengths = jnp.asarray(
+        np.random.RandomState(0).randint(64, T + 1, batch_size))
+    mask = lengths_to_mask(lengths, T)
+
+    # warm up / compile
+    rng = jax.random.PRNGKey(1)
+    out = mld.generate_joints(params, token_ids, mask, rng)
+    out.block_until_ready()
+
+    start = time.perf_counter()
+    for i in range(iters):
+        out = mld.generate_joints(params, token_ids, mask,
+                                  jax.random.PRNGKey(i))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    motions_per_sec = batch_size * iters / elapsed
+    print(json.dumps({
+        "metric": "t2m_ddim50_sampling_throughput",
+        "value": round(motions_per_sec, 3),
+        "unit": "motions/sec/chip",
+        "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

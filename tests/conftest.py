@@ -38,3 +38,45 @@ def has_reference():
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    _stub_torchmetrics()
+
+
+def _stub_torchmetrics():
+    """Minimal torchmetrics stand-in so reference metric modules import
+    (torchmetrics isn't installed in this image)."""
+    if "torchmetrics" in sys.modules:
+        return
+    import types
+    import torch
+
+    tm = types.ModuleType("torchmetrics")
+
+    class Metric(torch.nn.Module):
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+
+        def add_state(self, name, default=None, dist_reduce_fx=None):
+            setattr(self, name, default)
+
+    tm.Metric = Metric
+    tm.MetricCollection = dict
+    func = types.ModuleType("torchmetrics.functional")
+    func.pairwise_euclidean_distance = lambda a, b: torch.cdist(a, b)
+    tm.functional = func
+    sys.modules["torchmetrics"] = tm
+    sys.modules["torchmetrics.functional"] = func
+
+    if "smplx" not in sys.modules:
+        smplx = types.ModuleType("smplx")
+        smplx.SMPL = object
+        smplx.SMPLLayer = object
+        smplx.create = lambda *a, **k: None
+        lbs = types.ModuleType("smplx.lbs")
+        lbs.vertices2joints = lambda *a, **k: None
+        smplx.lbs = lbs
+        body = types.ModuleType("smplx.body_models")
+        body.ModelOutput = dict
+        smplx.body_models = body
+        sys.modules["smplx"] = smplx
+        sys.modules["smplx.lbs"] = lbs
+        sys.modules["smplx.body_models"] = body
