@@ -1,0 +1,110 @@
+"""Demo CLI: text prompts -> motion npy files.
+
+Reference surface (demo.py:23-333): --example file of "length text" lines,
+--replication, --allinone; outputs [nframes, 22, 3] npy + the prompt txt.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def load_example_input(txt_path):
+    """Parse "length text" lines (demo_utils.py:6-21 semantics)."""
+    texts, lens = [], []
+    with open(txt_path) as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            head = s.split(" ")[0]
+            lens.append(int(head))
+            texts.append(s[len(head) + 1:])
+    return texts, lens
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="MLD demo (TPU-native)")
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--preset", type=str, default="mld_humanml3d")
+    p.add_argument("--example", type=str, default=None,
+                   help='file of "length text" lines')
+    p.add_argument("--text", type=str, nargs="*", default=None)
+    p.add_argument("--length", type=int, nargs="*", default=None)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax dir / .npz / reference .ckpt")
+    p.add_argument("--out", type=str, default="results/demo")
+    p.add_argument("--task", type=str, default="text_motion")
+    p.add_argument("--replication", type=int, default=1)
+    p.add_argument("--allinone", action="store_true")
+    p.add_argument("--render", action="store_true",
+                   help="write skeleton mp4/gif per sample")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    from mld_tpu.config import load_config
+    from mld_tpu.data.datamodule import get_datamodule
+    from mld_tpu.models.mld import MLD
+    from mld_tpu.train.loop import _load_pretrained
+
+    cfg = load_config(args.cfg, None, preset=args.preset)
+    mld = MLD(cfg)
+    dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+    import jax.numpy as jnp
+    mld.mean = jnp.asarray(dm.mean, jnp.float32)
+    mld.std = jnp.asarray(dm.std, jnp.float32)
+
+    params = mld.init_params(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        params = _load_pretrained(args.checkpoint, params)
+        print(f"loaded checkpoint {args.checkpoint}")
+
+    if args.example:
+        texts, lengths = load_example_input(args.example)
+    elif args.text:
+        texts = args.text
+        lengths = args.length or [cfg.dataset.max_motion_len] * len(texts)
+    else:
+        texts = ["a person walks forward and waves"]
+        lengths = [96]
+    lengths = [min(l, cfg.dataset.max_motion_len) for l in lengths]
+
+    os.makedirs(args.out, exist_ok=True)
+    all_reps = []
+    for rep in range(args.replication):
+        joints_list = mld.generate(params, texts, lengths,
+                                   jax.random.PRNGKey(rep))
+        all_reps.append(joints_list)
+        for i, joints in enumerate(joints_list):
+            stem = f"{args.task}_{lengths[i]}_batch0_{i}"
+            if args.replication > 1:
+                stem += f"_{rep}"
+            np.save(os.path.join(args.out, stem + ".npy"), joints)
+            with open(os.path.join(args.out, stem + ".txt"), "w") as f:
+                f.write(texts[i])
+            print(f"saved {stem}.npy  [{joints.shape}]  '{texts[i]}'")
+            if args.render:
+                from mld_tpu.render.skeleton import save_skeleton_animation
+                save_skeleton_animation(
+                    joints, os.path.join(args.out, stem + ".gif"),
+                    title=texts[i])
+
+    if args.allinone:
+        T = max(lengths)
+        stacked = np.zeros((len(texts), args.replication, T, 22, 3),
+                           np.float32)
+        for r, joints_list in enumerate(all_reps):
+            for i, j in enumerate(joints_list):
+                stacked[i, r, : len(j)] = j
+        np.save(os.path.join(args.out, f"{args.task}_allinone.npy"), stacked)
+        print(f"saved allinone {stacked.shape}")
+
+
+if __name__ == "__main__":
+    main()

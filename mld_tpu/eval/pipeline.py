@@ -1,0 +1,215 @@
+"""Evaluation pipeline: the reference's t2m_eval + test protocol.
+
+Parity targets:
+  per-batch eval     — mld/models/modeltype/mld.py:618-708 (t2m_eval)
+  replication loop   — test.py:116-139 (20x, mean ± 1.96*std/sqrt(n))
+  gt evaluation      — mld.py:771-809 (eval_gt)
+
+One jitted program per batch: CFG text encode -> DDIM scan -> VAE decode ->
+joints + renorm -> length-sorted GRU evaluator embeddings. Metric
+accumulation and FID stay on host (scipy sqrtm), as in the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mld_tpu.config import Config
+from mld_tpu.metrics import (
+    ComputeMetrics,
+    MMMetrics,
+    MRMetrics,
+    TM2TMetrics,
+    UncondMetrics,
+)
+from mld_tpu.models.mld import MLD
+from mld_tpu.models.t2m_eval import (
+    MotionEncoderBiGRUCo,
+    MovementConvEncoder,
+    TextEncoderBiGRUCo,
+)
+
+
+class T2MEvaluatorBundle:
+    """The three frozen t2m evaluator nets + params."""
+
+    def __init__(self, cfg: Config, params: Optional[Dict] = None,
+                 seed: int = 0):
+        nfeats = cfg.dataset.nfeats
+        self.textencoder = TextEncoderBiGRUCo(300, 15, 512, 512)
+        self.moveencoder = MovementConvEncoder(nfeats - 4, 512, 512)
+        self.motionencoder = MotionEncoderBiGRUCo(512, 1024, 512)
+        if params is None:
+            import os
+            tar = f"{cfg.model.t2m_path}/t2m/text_mot_match/model/finest.tar"
+            if os.path.exists(tar):
+                from mld_tpu.models.t2m_eval import convert_t2m_checkpoint
+                conv = convert_t2m_checkpoint(tar)
+                params = {"text": conv["textencoder"],
+                          "move": conv["movementencoder"],
+                          "motion": conv["motionencoder"]}
+            else:  # random init (synthetic pipelines / smoke tests)
+                rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
+                T = 16
+                params = {
+                    "text": self.textencoder.init(
+                        rngs[0], jnp.zeros((1, T, 300)),
+                        jnp.zeros((1, T, 15)), jnp.ones((1,), jnp.int32)
+                    )["params"],
+                    "move": self.moveencoder.init(
+                        rngs[1], jnp.zeros((1, T, nfeats - 4)))["params"],
+                    "motion": self.motionencoder.init(
+                        rngs[2], jnp.zeros((1, T, 512)),
+                        jnp.ones((1,), jnp.int32))["params"],
+                }
+        self.params = params
+
+    def motion_embedding(self, feats, m_lens):
+        mov = self.moveencoder.apply({"params": self.params["move"]},
+                                     feats[..., :-4])
+        return self.motionencoder.apply({"params": self.params["motion"]},
+                                        mov, m_lens)
+
+    def text_embedding(self, word_embs, pos_ohot, text_lens):
+        return self.textencoder.apply({"params": self.params["text"]},
+                                      word_embs, pos_ohot, text_lens)
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, mld: MLD, datamodule,
+                 t2m_params: Optional[Dict] = None):
+        self.cfg = cfg
+        self.mld = mld
+        self.dm = datamodule
+        self.bundle = T2MEvaluatorBundle(cfg, t2m_params)
+        self.unit_len = cfg.dataset.unit_len
+        self._eval_batch_jit = jax.jit(self._eval_batch,
+                                       static_argnames=("stage",))
+
+    # ------------------------------------------------------------- jitted core
+    def _eval_batch(self, params, text_ids, word_embs, pos_ohot, text_lens,
+                    motion, mask, lengths, rng, stage: str = "diffusion"):
+        mld = self.mld
+        if stage == "diffusion":
+            feats_rst = mld._generate_impl(params, text_ids, mask, rng)
+        else:  # vae reconstruction (stage-1 eval)
+            z, _ = mld.encode_motion(params, motion, mask, rng)
+            feats_rst = mld.decode_latent(params, z, mask)
+
+        joints_rst = mld.feats2joints(feats_rst) * mask[..., None, None]
+        joints_ref = mld.feats2joints(motion) * mask[..., None, None]
+
+        # evaluator-space renorm + length-desc sort (mld.py:676-688)
+        feats_rst_e = mld.renorm4t2m(feats_rst)
+        motion_e = mld.renorm4t2m(motion)
+        align = jnp.argsort(-lengths)
+        motion_e = motion_e[align]
+        feats_rst_e = feats_rst_e[align]
+        m_lens = lengths[align] // self.unit_len
+
+        lat_rm = self.bundle.motion_embedding(feats_rst_e, m_lens)
+        lat_m = self.bundle.motion_embedding(motion_e, m_lens)
+        lat_t = self.bundle.text_embedding(word_embs, pos_ohot,
+                                           text_lens)[align]
+        return {
+            "lat_t": lat_t, "lat_m": lat_m, "lat_rm": lat_rm,
+            "joints_rst": joints_rst, "joints_ref": joints_ref,
+            "align": align,
+        }
+
+    # ------------------------------------------------------------- host driver
+    def run_split(self, params, loader, rng, stage="diffusion",
+                  metrics=("TM2TMetrics", "TemosMetric"),
+                  mm: bool = False) -> Dict:
+        cfg = self.cfg
+        accs = {}
+        if "TM2TMetrics" in metrics:
+            accs["TM2TMetrics"] = TM2TMetrics(
+                diversity_times=cfg.eval.diversity_times)
+        if "TemosMetric" in metrics:
+            accs["TemosMetric"] = ComputeMetrics(
+                njoints=cfg.dataset.njoints, jointstype=cfg.dataset.name
+                if cfg.dataset.name in ("humanml3d",) else "mmm")
+        if "MRMetrics" in metrics:
+            accs["MRMetrics"] = MRMetrics(njoints=cfg.dataset.njoints)
+        if "UncondMetrics" in metrics:
+            accs["UncondMetrics"] = UncondMetrics(
+                diversity_times=cfg.eval.diversity_times)
+        if mm:
+            accs = {"MMMetrics": MMMetrics(
+                mm_num_times=cfg.eval.mm_num_times)}
+
+        for batch in loader:
+            rng, srng = jax.random.split(rng)
+            inputs = {k: jnp.asarray(batch[k]) for k in
+                      ("text_ids", "word_embs", "pos_ohot", "motion",
+                       "mask")}
+            lengths = jnp.asarray(batch["length"])
+            text_lens = jnp.asarray(batch["text_len"])
+            if mm:
+                reps = self.cfg.eval.mm_num_repeats
+                inputs = {k: jnp.repeat(v, reps, axis=0)
+                          for k, v in inputs.items()}
+                lengths = jnp.repeat(lengths, reps, axis=0)
+                text_lens = jnp.repeat(text_lens, reps, axis=0)
+            out = self._eval_batch_jit(
+                params, inputs["text_ids"], inputs["word_embs"],
+                inputs["pos_ohot"], text_lens, inputs["motion"],
+                inputs["mask"], lengths, srng, stage=stage)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            lengths_np = np.asarray(lengths)
+            sorted_lengths = lengths_np[np.asarray(out["align"])]
+
+            if mm:
+                accs["MMMetrics"].update(out["lat_rm"][None],
+                                         np.asarray(batch["length"]))
+                continue
+            if "TM2TMetrics" in accs:
+                accs["TM2TMetrics"].update(out["lat_t"], out["lat_rm"],
+                                           out["lat_m"], sorted_lengths)
+            if "TemosMetric" in accs:
+                accs["TemosMetric"].update(out["joints_rst"],
+                                           out["joints_ref"], lengths_np)
+            if "MRMetrics" in accs:
+                accs["MRMetrics"].update(out["joints_rst"],
+                                         out["joints_ref"], lengths_np)
+            if "UncondMetrics" in accs:
+                accs["UncondMetrics"].update(out["lat_m"], sorted_lengths,
+                                             out["lat_rm"])
+
+        results = {}
+        for name, acc in accs.items():
+            results.update(acc.compute())
+        return results
+
+    def run(self, params, rng, replication_times: Optional[int] = None,
+            stage="diffusion", with_mm: bool = True) -> Dict:
+        """Full test protocol: N replications, mean ± 95% interval."""
+        cfg = self.cfg
+        replication_times = replication_times or cfg.test.replication_times
+        all_metrics: Dict[str, list] = {}
+        for rep in range(replication_times):
+            rng, r1, r2 = jax.random.split(rng, 3)
+            loader = self.dm.loader("test", shuffle=False,
+                                    batch_size=cfg.eval.batch_size)
+            res = self.run_split(params, loader, r1, stage=stage,
+                                 metrics=tuple(cfg.eval.metrics))
+            if with_mm and "TM2TMetrics" in cfg.eval.metrics:
+                self.dm.mm_mode(True, cfg.eval.mm_num_samples)
+                mm_loader = self.dm.loader("test", shuffle=False)
+                res.update(self.run_split(params, mm_loader, r2,
+                                          stage=stage, mm=True))
+                self.dm.mm_mode(False)
+            for k, v in res.items():
+                all_metrics.setdefault(k, []).append(float(v))
+
+        out = {}
+        for k, vals in all_metrics.items():
+            arr = np.asarray(vals)
+            out[k] = float(arr.mean())
+            out[f"{k}/conf95"] = float(1.96 * arr.std() / np.sqrt(len(arr)))
+        return out

@@ -74,15 +74,33 @@ class MLD:
                                     else np.ones(nfeats), jnp.float32)
 
         if self.is_vae:
-            self.vae = MldVae(
-                nfeats=nfeats, latent_size=m.latent_size,
-                latent_dim=m.latent_dim, ff_size=m.ff_size,
-                num_layers=m.num_layers, num_heads=m.num_heads,
-                dropout=m.dropout, arch=m.vae_arch,
-                normalize_before=m.normalize_before, activation=m.activation,
-                position_embedding=m.position_embedding)
+            if m.vae_type == "actor":
+                from mld_tpu.models.actor_vae import ActorVae
+                self.vae = ActorVae(
+                    nfeats=nfeats, latent_size=m.latent_size,
+                    latent_dim=m.latent_dim, ff_size=m.ff_size,
+                    num_layers=m.num_layers, num_heads=m.num_heads,
+                    dropout=m.dropout, activation=m.activation)
+            elif m.vae_type == "vposert":
+                from mld_tpu.models.vposert_vae import VPosert
+                self.vae = VPosert(
+                    nfeats=nfeats, max_frames=cfg.dataset.max_motion_len,
+                    latent_size=m.latent_size, latent_dim=m.latent_dim)
+            else:
+                self.vae = MldVae(
+                    nfeats=nfeats, latent_size=m.latent_size,
+                    latent_dim=m.latent_dim, ff_size=m.ff_size,
+                    num_layers=m.num_layers, num_heads=m.num_heads,
+                    dropout=m.dropout, arch=m.vae_arch,
+                    normalize_before=m.normalize_before,
+                    activation=m.activation,
+                    position_embedding=m.position_embedding)
         else:
             self.vae = None
+
+        if m.condition == "action":
+            from mld_tpu.models.smpl import Rotation2Joints
+            self.rot2joints = Rotation2Joints(cfg.dataset.smpl_path)
 
         self.denoiser = MldDenoiser(
             nfeats=nfeats, condition=m.condition, latent_size=m.latent_size,
@@ -262,8 +280,11 @@ class MLD:
         return joints * mask[..., None, None]
 
     # ------------------------------------------------------------- transforms
-    def feats2joints(self, feats):
-        """de-normalize + RIC decode (HumanML3D.py:41-45 semantics), jnp."""
+    def feats2joints(self, feats, mask=None):
+        """text: de-normalize + RIC decode (HumanML3D.py:41-45); action:
+        rot6d features -> SMPL-topology joints (mld.py:119-143)."""
+        if self.condition == "action":
+            return self.rot2joints(feats, mask)
         feats = feats * self.std + self.mean
         return recover_from_ric(feats, self.njoints)
 

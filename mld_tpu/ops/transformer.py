@@ -255,7 +255,9 @@ class TransformerEncoder(nn.Module):
 
 
 class TransformerDecoder(nn.Module):
-    """Plain stacked decoder with final norm (cross_attention.py:195-233)."""
+    """Plain stacked decoder with final norm (cross_attention.py:195-233);
+    final_norm=False gives the torch nn.TransformerDecoder(norm=None)
+    variant used by ActorVae."""
     d_model: int
     num_heads: int
     num_layers: int
@@ -263,6 +265,7 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     normalize_before: bool = False
+    final_norm: bool = True
     use_pallas: Optional[bool] = None
 
     @nn.compact
@@ -275,4 +278,6 @@ class TransformerDecoder(nn.Module):
                 self.activation, self.normalize_before, self.use_pallas,
                 name=f"layers_{i}")(x, memory, tgt_valid, memory_valid,
                                     deterministic=deterministic)
-        return nn.LayerNorm(name="norm")(x)
+        if self.final_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        return x

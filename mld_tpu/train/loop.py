@@ -1,0 +1,158 @@
+"""Training driver: epochs, validation, checkpointing, resume.
+
+Replaces pl.Trainer + callbacks (reference train.py:124-200). One jitted
+train step over the device mesh; host loop only moves batches and logs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mld_tpu.config import Config
+from mld_tpu.data.datamodule import get_datamodule
+from mld_tpu.models.mld import MLD
+from mld_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate_tree,
+    shard_batch,
+)
+from mld_tpu.train.steps import (
+    create_train_state,
+    full_params,
+    make_eval_step,
+    make_train_step,
+)
+from mld_tpu.utils.checkpoint import CheckpointManager
+from mld_tpu.utils.logger import ExperimentLogger, create_experiment_dir
+
+
+def _device_batch(batch: Dict, mesh=None) -> Dict:
+    keys = ("motion", "mask", "text_ids", "action")
+    jb = {k: np.asarray(batch[k]) for k in keys if k in batch}
+    if mesh is not None:
+        jb = pad_batch_to_devices(jb, mesh)
+        return shard_batch(jb, mesh)
+    return {k: jnp.asarray(v) for k, v in jb.items()}
+
+
+def train(cfg: Config, max_steps: Optional[int] = None,
+          resume: bool = False) -> Dict:
+    """Run one training stage. Returns final params."""
+    stage = cfg.train.stage
+    exp_dir = create_experiment_dir(cfg.logger.folder, "mld", cfg.name)
+    logger = ExperimentLogger(exp_dir, cfg, phase="train",
+                              tensorboard=cfg.logger.tensorboard)
+    logger.info(f"stage={stage} devices={jax.device_count()} "
+                f"backend={jax.default_backend()}")
+
+    mld = MLD(cfg)
+    dm = get_datamodule(cfg, tokenizer=getattr(mld, "tokenizer", None))
+    mld.mean = jnp.asarray(dm.mean, jnp.float32)
+    mld.std = jnp.asarray(dm.std, jnp.float32)
+    mld.mean_eval = jnp.asarray(dm.mean_eval, jnp.float32)
+    mld.std_eval = jnp.asarray(dm.std_eval, jnp.float32)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = mld.init_params(init_rng)
+
+    # two-stage handoff: load the frozen stage-1 VAE (train.py:165-177)
+    if stage == "diffusion" and cfg.train.pretrained_vae:
+        params = _load_pretrained(cfg.train.pretrained_vae, params,
+                                  only=("vae",))
+        logger.info(f"loaded pretrained VAE from {cfg.train.pretrained_vae}")
+    if cfg.train.pretrained:
+        params = _load_pretrained(cfg.train.pretrained, params)
+        logger.info(f"loaded pretrained model from {cfg.train.pretrained}")
+
+    state = create_train_state(mld, params, stage)
+
+    n_data = (cfg.train.data_parallel if cfg.train.data_parallel > 0 else -1)
+    mesh = make_mesh(num_data=n_data) if jax.device_count() > 1 else None
+    if mesh is not None:
+        state = state.replace(
+            params=replicate_tree(state.params, mesh),
+            frozen=replicate_tree(state.frozen, mesh),
+            opt_state=replicate_tree(state.opt_state, mesh))
+
+    ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        restored = ckpt.restore(like=state.params,
+                                like_opt_state=state.opt_state)
+        state = state.replace(params={
+            k: restored["params"][k] for k in state.params})
+        if restored.get("opt_state") is not None:
+            state = state.replace(opt_state=restored["opt_state"])
+        start_epoch = int(ckpt.latest_step())
+        logger.info(f"resumed from epoch {start_epoch}")
+
+    train_step = make_train_step(mld, stage, donate=True)
+    eval_step = make_eval_step(mld, stage)
+
+    loader = dm.loader("train", seed=cfg.train.seed)
+    val_loader = dm.loader("val", shuffle=False)
+
+    step_count = 0
+    for epoch in range(start_epoch, cfg.train.end_epoch):
+        epoch_logs = []
+        for batch in loader:
+            rng, srng = jax.random.split(rng)
+            state, logs = train_step(state, _device_batch(batch, mesh), srng)
+            epoch_logs.append({k: float(v) for k, v in logs.items()})
+            step_count += 1
+            if max_steps is not None and step_count >= max_steps:
+                break
+        mean_logs = {k: float(np.mean([d[k] for d in epoch_logs]))
+                     for k in epoch_logs[0]} if epoch_logs else {}
+        logger.log_metrics(mean_logs, epoch, "train")
+        if epoch % 10 == 0 or epoch == cfg.train.end_epoch - 1:
+            logger.epoch_line(epoch, mean_logs, "train")
+
+        if (epoch + 1) % max(cfg.logger.save_checkpoint_epoch, 1) == 0:
+            ckpt.save(epoch + 1, state.params, state.opt_state)
+            logger.info(f"checkpoint saved at epoch {epoch + 1}")
+
+        if (epoch + 1) % max(cfg.logger.val_every_steps, 1) == 0:
+            val_logs = []
+            for batch in val_loader:
+                rng, srng = jax.random.split(rng)
+                logs = eval_step(state, _device_batch(batch, mesh), srng)
+                val_logs.append({k: float(v) for k, v in logs.items()})
+            if val_logs:
+                mean_val = {k: float(np.mean([d[k] for d in val_logs]))
+                            for k in val_logs[0]}
+                logger.log_metrics(mean_val, epoch, "val")
+                logger.epoch_line(epoch, mean_val, "val")
+
+        if max_steps is not None and step_count >= max_steps:
+            break
+
+    ckpt.save(cfg.train.end_epoch, state.params, state.opt_state)
+    return full_params(state)
+
+
+def _load_pretrained(path: str, params: Dict, only=None) -> Dict:
+    """Load orbax dir / npz / reference torch ckpt into the param tree."""
+    from mld_tpu.utils.checkpoint import (
+        load_params_npz,
+        load_reference_checkpoint,
+    )
+
+    if path.endswith(".npz"):
+        loaded = {"params": load_params_npz(path)}
+    elif path.endswith((".ckpt", ".pt", ".tar")):
+        return load_reference_checkpoint(path, params)
+    else:
+        mgr = CheckpointManager(path)
+        loaded = mgr.restore(like=params)
+    new = dict(params)
+    for k, v in loaded["params"].items():
+        if only is None or k in only:
+            new[k] = v
+    return new
