@@ -53,8 +53,7 @@ class CheckpointManager:
             if like_opt_state is not None:
                 ref["opt_state"] = like_opt_state
             return self._mgr.restore(
-                step, args=ocp.args.StandardRestore(
-                    ref, partial_restore=True))
+                step, args=ocp.args.StandardRestore(ref))
         return self._mgr.restore(step)
 
 
