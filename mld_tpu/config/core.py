@@ -85,6 +85,8 @@ class DatasetConfig:
     unit_len: int = 4
     frame_rate: float = 20.0
     word_vectorizer_path: str = "deps/glove"
+    # stream batches through the native C++ loader when available
+    native_loader: bool = False
     smpl_path: str = "deps/smpl_models/smpl"
     nclasses: int = 10
     num_frames: int = 60               # a2m fixed clip length

@@ -57,6 +57,41 @@ class MldCollator:
         return batch
 
 
+class NativeMldCollator(MldCollator):
+    """MldCollator over lazy items: motion bytes come through the C++
+    loader (crop + z-normalize + pad in native threads)."""
+
+    def __init__(self, max_motion_len: int, mean, std,
+                 tokenizer: Optional[Callable] = None, num_threads: int = 8):
+        super().__init__(max_motion_len, tokenizer)
+        from mld_tpu.native import NativeBatchLoader
+        self.loader = NativeBatchLoader(mean, std, max_motion_len,
+                                        num_threads)
+
+    def __call__(self, items: List[dict]) -> dict:
+        items = sorted(items, key=lambda x: x.get("text_len", 0),
+                       reverse=True)
+        motion, lengths = self.loader.load(
+            [it["motion_path"] for it in items],
+            [it["motion_start"] for it in items],
+            [it["length"] for it in items])
+        batch = {
+            "motion": motion,
+            "length": lengths,
+            "mask": lengths_to_mask_np(lengths, self.max_motion_len),
+            "text": [it["text"] for it in items],
+            "word_embs": np.stack([it["word_embs"] for it in items]),
+            "pos_ohot": np.stack([it["pos_ohot"] for it in items]),
+            "text_len": np.asarray([it["text_len"] for it in items],
+                                   np.int32),
+            "tokens": [it.get("tokens", "") for it in items],
+        }
+        if self.tokenizer is not None:
+            batch["text_ids"] = np.asarray(
+                self.tokenizer(batch["text"]), np.int32)
+        return batch
+
+
 class A2MCollator:
     """Action-to-motion batches (a2m_collate:77-98 semantics)."""
 

@@ -49,7 +49,17 @@ class HumanML3DDataModule:
             self.mean_eval, self.std_eval = self.mean, self.std
 
         self.w_vectorizer = WordVectorizer(ds.word_vectorizer_path, "our_vab")
-        self.collate = MldCollator(ds.max_motion_len, tokenizer)
+        self.use_native = False
+        if ds.native_loader:
+            try:
+                from .collate import NativeMldCollator
+                self.collate = NativeMldCollator(
+                    ds.max_motion_len, self.mean, self.std, tokenizer)
+                self.use_native = True
+            except Exception:
+                pass
+        if not self.use_native:
+            self.collate = MldCollator(ds.max_motion_len, tokenizer)
         self._datasets = {}
         self.is_mm = False
         self._mm_backup = None
@@ -57,7 +67,10 @@ class HumanML3DDataModule:
 
     def _make(self, split: str, tiny=False):
         ds = self.cfg.dataset
-        return Text2MotionDataset(
+        from .dataset import Text2MotionDatasetLazy
+        cls = Text2MotionDatasetLazy if self.use_native \
+            else Text2MotionDataset
+        return cls(
             self.root, split, self.mean, self.std, self.w_vectorizer,
             max_motion_length=ds.max_motion_len,
             min_motion_length=ds.min_motion_len,

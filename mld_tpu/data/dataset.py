@@ -99,12 +99,14 @@ class Text2MotionDataset:
                         new_name = f"{name}_{len(name_list)}"
                         self.data[new_name] = {
                             "motion": sub, "length": len(sub),
-                            "text": [entry]}
+                            "text": [entry], "src_name": name,
+                            "src_offset": int(f_tag * fps)}
                         name_list.append(new_name)
                         length_list.append(len(sub))
             if flag and text_data:
                 self.data[name] = {"motion": motion, "length": len(motion),
-                                   "text": text_data}
+                                   "text": text_data, "src_name": name,
+                                   "src_offset": 0}
                 name_list.append(name)
                 length_list.append(len(motion))
 
@@ -169,6 +171,56 @@ class Text2MotionDataset:
             "text": entry.caption,
             "text_len": sent_len,
             "motion": motion.astype(np.float32),
+            "length": m_length,
+            "tokens": "_".join(entry.tokens),
+        }
+
+
+class Text2MotionDatasetLazy(Text2MotionDataset):
+    """Index-only variant: motions stay on disk; batches are assembled by
+    the native C++ loader (crop + normalize + pad in one threaded pass).
+
+    __getitem__ returns crop metadata instead of the motion array; pair with
+    collate.NativeMldCollator.
+    """
+
+    def __init__(self, data_root: str, split: str, mean, std, w_vectorizer,
+                 **kw):
+        super().__init__(data_root, split, mean, std, w_vectorizer, **kw)
+        self._motion_dir = pjoin(data_root, "new_joint_vecs")
+        # keep only the on-disk index; motions stream through the C++ loader
+        for name, item in self.data.items():
+            item["path"] = pjoin(self._motion_dir,
+                                 item["src_name"] + ".npy")
+            item["offset"] = item["src_offset"]
+            item.pop("motion", None)
+
+    def __getitem__(self, idx: int) -> dict:
+        item = self.data[self.name_list[idx]]
+        m_length = item["length"]
+        entry = item["text"][self.rng.randint(len(item["text"]))]
+        if self.w_vectorizer is not None:
+            word_embs, pos_ohot, sent_len = self._tokens_to_embeddings(
+                list(entry.tokens))
+        else:
+            word_embs = np.zeros((self.max_text_len + 2, 300), np.float32)
+            pos_ohot = np.zeros((self.max_text_len + 2, 15), np.float32)
+            sent_len = 0
+        unit = self.unit_length
+        coin2 = (self.rng.choice(["single", "single", "double"])
+                 if unit < 10 else "single")
+        if coin2 == "double":
+            m_length = (m_length // unit - 1) * unit
+        else:
+            m_length = (m_length // unit) * unit
+        start = self.rng.randint(0, item["length"] - m_length + 1)
+        return {
+            "motion_path": item["path"],
+            "motion_start": item["offset"] + start,
+            "word_embs": word_embs.astype(np.float32),
+            "pos_ohot": pos_ohot.astype(np.float32),
+            "text": entry.caption,
+            "text_len": sent_len,
             "length": m_length,
             "tokens": "_".join(entry.tokens),
         }
