@@ -130,6 +130,7 @@ class EvalConfig:
     mm_num_repeats: int = 30
     mm_num_times: int = 10
     diversity_times: int = 300
+    r_size: int = 32  # R-precision ranking group size
     metrics: List[str] = field(
         default_factory=lambda: ["TemosMetric", "TM2TMetrics"])
 

@@ -129,6 +129,7 @@ class Evaluator:
         accs = {}
         if "TM2TMetrics" in metrics:
             accs["TM2TMetrics"] = TM2TMetrics(
+                R_size=cfg.eval.r_size,
                 diversity_times=cfg.eval.diversity_times)
         if "TemosMetric" in metrics:
             accs["TemosMetric"] = ComputeMetrics(

@@ -43,7 +43,7 @@ def tiny_overrides(synth_root, tmp, stage="vae"):
         "dataset": {"root": synth_root, "max_motion_len": 64,
                     "min_motion_len": 16},
         "train": {"stage": stage, "batch_size": 4, "end_epoch": 2},
-        "eval": {"batch_size": 8, "diversity_times": 8,
+        "eval": {"batch_size": 8, "diversity_times": 4, "r_size": 4,
                  "mm_num_samples": 2, "mm_num_repeats": 4,
                  "mm_num_times": 2},
         "test": {"replication_times": 2},
