@@ -1,0 +1,94 @@
+"""Joints -> SMPL pose fitting, batched and jitted.
+
+Replaces the reference's per-frame LBFGS SMPLify3D loop
+(fit.py:104-280 + mld/transforms/joints2rots/smplify.py:47, brute-force
+shell-parallelized in scripts/fit_motion_parallel.sh) with ONE vectorized
+optimization over all frames simultaneously: parameters are per-frame rot6d
+poses + translation (+ shared betas with the SMPL asset), objective is
+joint reprojection + temporal smoothness + pose regularization, optimizer
+is Adam under jit. Hours of per-frame CPU LBFGS become seconds of batched
+TPU matmuls.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mld_tpu.models.smpl import SMPLLayer, SMPL_NUM_JOINTS
+from mld_tpu.ops.rotation import matrix_to_rotation_6d
+
+# map HumanML3D 22 joints onto the first 22 SMPL joints (same ordering)
+_N_FIT_JOINTS = 22
+
+
+def _identity_rot6d(B):
+    eye = matrix_to_rotation_6d(jnp.eye(3)[None])  # [1, 6]
+    return jnp.tile(eye[None], (B, SMPL_NUM_JOINTS, 1))
+
+
+class BatchedSMPLFitter:
+    def __init__(self, smpl_path: Optional[str] = None,
+                 num_steps: int = 300, lr: float = 0.03,
+                 w_smooth: float = 1.0, w_reg: float = 1e-3):
+        self.smpl = SMPLLayer(smpl_path)
+        self.num_steps = num_steps
+        self.lr = lr
+        self.w_smooth = w_smooth
+        self.w_reg = w_reg
+        self._fit = jax.jit(self._fit_impl)
+
+    def _objective(self, params, target_joints):
+        rot6d, trans = params["rot6d"], params["trans"]
+        joints = self.smpl.joints(rot6d, trans)  # [T, 24, 3]
+        data = jnp.mean(jnp.sum(
+            (joints[:, :_N_FIT_JOINTS]
+             - target_joints[:, :_N_FIT_JOINTS]) ** 2, -1))
+        smooth = jnp.mean(jnp.sum(
+            (rot6d[1:] - rot6d[:-1]) ** 2, (-1, -2))) + jnp.mean(
+            jnp.sum((trans[1:] - trans[:-1]) ** 2, -1))
+        ident = _identity_rot6d(rot6d.shape[0])
+        reg = jnp.mean(jnp.sum((rot6d - ident) ** 2, (-1, -2)))
+        return data + self.w_smooth * smooth + self.w_reg * reg
+
+    def _fit_impl(self, target_joints):
+        T = target_joints.shape[0]
+        params = {
+            "rot6d": _identity_rot6d(T),
+            "trans": target_joints[:, 0],  # init at root track
+        }
+        tx = optax.adam(self.lr)
+        opt_state = tx.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(self._objective)(params,
+                                                              target_joints)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=self.num_steps)
+        return params, losses
+
+    def fit(self, joints: np.ndarray) -> Dict[str, np.ndarray]:
+        """joints [T, J>=22, 3] -> {rot6d [T, 24, 6], trans [T, 3],
+        joints_fit [T, 24, 3], loss_curve [steps]}"""
+        target = jnp.asarray(joints[:, :_N_FIT_JOINTS], jnp.float32)
+        if target.shape[1] < _N_FIT_JOINTS:
+            raise ValueError("need at least 22 joints")
+        params, losses = self._fit(target)
+        fit_joints = self.smpl.joints(params["rot6d"], params["trans"])
+        out = {k: np.asarray(v) for k, v in params.items()}
+        out["joints_fit"] = np.asarray(fit_joints)
+        out["loss_curve"] = np.asarray(losses)
+        return out
+
+    def vertices(self, rot6d, trans):
+        """Mesh vertices for export (requires the SMPL asset)."""
+        return np.asarray(self.smpl.vertices(jnp.asarray(rot6d),
+                                             jnp.asarray(trans)))

@@ -1,0 +1,83 @@
+"""Tooling tests: flops analysis, tsne trajectories, SMPL fitting, renderer."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REPO_ROOT
+
+import mld_tpu  # noqa: F401
+
+
+def _env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    return env
+
+
+class TestFitting:
+    def test_batched_fit_reduces_error(self):
+        from mld_tpu.models.smpl import SMPLLayer
+        from mld_tpu.ops.rotation import matrix_to_rotation_6d
+        from mld_tpu.transforms.fitting import BatchedSMPLFitter
+        import jax.numpy as jnp
+
+        # target = FK of a known smooth pose -> fitting must recover it
+        rng = np.random.RandomState(0)
+        T = 8
+        smpl = SMPLLayer(None)
+        ang = np.cumsum(0.01 * rng.randn(T, 24, 3), 0)
+        from mld_tpu.ops.rotation import axis_angle_to_matrix
+        rot6d = matrix_to_rotation_6d(axis_angle_to_matrix(jnp.asarray(
+            ang, jnp.float32)))
+        trans = np.cumsum(0.01 * rng.randn(T, 3), 0).astype(np.float32)
+        target = np.asarray(smpl.joints(rot6d, jnp.asarray(trans)))
+
+        fitter = BatchedSMPLFitter(None, num_steps=150, lr=0.05,
+                                   w_smooth=0.1, w_reg=1e-4)
+        res = fitter.fit(target)
+        losses = res["loss_curve"]
+        assert losses[-1] < losses[0] * 0.1, (losses[0], losses[-1])
+        err = np.abs(res["joints_fit"][:, :22] - target[:, :22]).mean()
+        assert err < 0.05, err
+
+
+class TestRenderer:
+    def test_frame_and_animation(self, tmp_path):
+        from mld_tpu.render.skeleton import (
+            save_skeleton_animation,
+            save_skeleton_frame,
+        )
+        joints = np.random.RandomState(0).randn(6, 22, 3) * 0.3
+        frame = tmp_path / "pose.png"
+        save_skeleton_frame(joints[0], str(frame), title="t")
+        assert frame.exists() and frame.stat().st_size > 0
+        gif = tmp_path / "clip.gif"
+        save_skeleton_animation(joints, str(gif), fps=5)
+        assert gif.exists() and gif.stat().st_size > 0
+
+
+class TestAnalysisScripts:
+    def test_flops_script(self):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts/flops.py"),
+             "--batch", "1"],
+            capture_output=True, text=True, env=_env(), timeout=560,
+            cwd=REPO_ROOT)
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json
+        # last json blob in stdout
+        report = json.loads(r.stdout[r.stdout.index("{"):])
+        assert report["generate_feats"]["flops"] > 0
+        assert report["param_count"] > 1e6
+
+    def test_tsne_pca(self, tmp_path):
+        from scripts.tsne import pca_2d, tsne_2d
+        x = np.random.RandomState(0).randn(40, 8)
+        assert pca_2d(x).shape == (40, 2)
+        y = tsne_2d(x, perplexity=5, iters=50)
+        assert y.shape == (40, 2) and np.isfinite(y).all()
