@@ -63,6 +63,18 @@ _register("mld_humanact12", {
     "eval": {"metrics": ["HUMANACTMetrics"]},
 })
 
+_register("mld_uestc", {
+    "name": "mld_uestc",
+    "model": {"vae": True, "vae_type": "actor", "condition": "action",
+              "latent_size": 1, "latent_dim": 256,
+              "denoiser_num_layers": 9, "guidance_scale": 7.5,
+              "nclasses": 40},
+    "train": {"stage": "diffusion"},
+    "dataset": {"name": "uestc", "njoints": 24, "nfeats": 150,
+                "nclasses": 40, "num_frames": 60, "root": "datasets/uestc"},
+    "eval": {"metrics": ["UESTCMetrics"]},
+})
+
 _register("mld_kit", {
     "name": "mld_kit",
     "model": {"vae": True, "vae_type": "mld", "condition": "text"},

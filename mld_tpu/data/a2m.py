@@ -101,9 +101,37 @@ class HumanAct12Dataset:
         return {
             "motion": feats.astype(np.float32),
             "action": self._actions[ind],
-            "action_text": HUMANACT12_ACTIONS[self._actions[ind]],
+            "action_text": HUMANACT12_ACTIONS.get(
+                self._actions[ind], f"action_{self._actions[ind]}"),
             "length": min(total, self.num_frames),
         }
+
+
+class UestcDataset(HumanAct12Dataset):
+    """UESTC (40 action classes). Consumes the same preprocessed pose-pkl
+    schema (poses rotvec [T, 72] + joints3D + labels); the reference's raw
+    UESTC loader (a2m/uestc.py) is an offline preprocessing concern."""
+
+    PKL_NAME = "uestc_poses.pkl"
+
+    def __init__(self, datapath: str, num_frames: int = 60, split="train",
+                 rng=None, synthesize_if_missing: bool = True):
+        pkl_path = os.path.join(datapath, self.PKL_NAME)
+        if not os.path.exists(pkl_path) and synthesize_if_missing:
+            synth_humanact12_pkl(pkl_path.replace(self.PKL_NAME,
+                                                  "humanact12poses.pkl"),
+                                 n_per_class=4, num_classes=40)
+            os.rename(os.path.join(datapath, "humanact12poses.pkl"),
+                      pkl_path)
+        # reuse the HumanAct12 reader on the renamed pkl
+        tmp_dir = datapath
+        real = os.path.join(tmp_dir, "humanact12poses.pkl")
+        if not os.path.exists(real):
+            import shutil
+            shutil.copy(pkl_path, real)
+        super().__init__(tmp_dir, num_frames, split, rng,
+                         synthesize_if_missing=False)
+        self.num_classes = 40
 
 
 class A2MDataModule:
@@ -120,11 +148,14 @@ class A2MDataModule:
         self.mean = np.zeros(self.nfeats, np.float32)
         self.std = np.ones(self.nfeats, np.float32)
         self.mean_eval, self.std_eval = self.mean, self.std
+        self._dataset_cls = (UestcDataset
+                             if cfg.dataset.name.lower() == "uestc"
+                             else HumanAct12Dataset)
 
     def dataset(self, split: str):
         split = "train" if split == "train" else "test"
         if split not in self._datasets:
-            self._datasets[split] = HumanAct12Dataset(
+            self._datasets[split] = self._dataset_cls(
                 self.cfg.dataset.root, self.num_frames, split)
         return self._datasets[split]
 
