@@ -40,16 +40,17 @@ def main():
         np.random.RandomState(0).randint(64, T + 1, batch_size))
     mask = lengths_to_mask(lengths, T)
 
-    # warm up / compile
+    # warm up / compile (host transfer = real completion barrier: on the
+    # tunneled platform block_until_ready does not block)
     rng = jax.random.PRNGKey(1)
     out = mld.generate_joints(params, token_ids, mask, rng)
-    out.block_until_ready()
+    np.asarray(out[0, 0, 0])
 
     start = time.perf_counter()
     for i in range(iters):
         out = mld.generate_joints(params, token_ids, mask,
                                   jax.random.PRNGKey(i))
-    out.block_until_ready()
+    np.asarray(out[0, 0, 0])  # in-order execution: syncs all iters
     elapsed = time.perf_counter() - start
 
     motions_per_sec = batch_size * iters / elapsed

@@ -66,6 +66,8 @@ class ModelConfig:
     clip_last_hidden: bool = False
     clip_layers: int = 12
     clip_heads: int = 12
+    # frozen text-tower activation dtype (bf16 feeds the MXU at full rate)
+    clip_compute_dtype: str = "bfloat16"
     nclasses: int = 10
     t2m_path: str = "deps/t2m"
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)

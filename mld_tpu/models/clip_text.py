@@ -36,48 +36,57 @@ def quick_gelu(x):
 class ClipAttention(nn.Module):
     width: int
     heads: int
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, causal_mask):
         B, S, D = x.shape
         H = self.heads
         Dh = D // H
-        q = nn.Dense(D, name="q_proj")(x) * (Dh ** -0.5)
-        k = nn.Dense(D, name="k_proj")(x)
-        v = nn.Dense(D, name="v_proj")(x)
+        dt = self.compute_dtype
+        q = nn.Dense(D, dtype=dt, name="q_proj")(x) * (Dh ** -0.5)
+        k = nn.Dense(D, dtype=dt, name="k_proj")(x)
+        v = nn.Dense(D, dtype=dt, name="v_proj")(x)
 
         def split(t):
             return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k),
                             preferred_element_type=jnp.float32)
-        scores = scores + causal_mask
-        probs = nn.softmax(scores, axis=-1)
+        scores = scores + causal_mask.astype(jnp.float32)
+        probs = nn.softmax(scores, axis=-1).astype(dt)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
-        return nn.Dense(D, name="out_proj")(out)
+        return nn.Dense(D, dtype=dt, name="out_proj")(out)
 
 
 class ClipEncoderLayer(nn.Module):
     width: int
     heads: int
     intermediate_size: int = 0  # 0 -> 4 * width
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, causal_mask):
-        y = nn.LayerNorm(name="layer_norm1", epsilon=1e-5)(x)
-        x = x + ClipAttention(self.width, self.heads, name="self_attn")(
-            y, causal_mask)
-        y = nn.LayerNorm(name="layer_norm2", epsilon=1e-5)(x)
+        dt = self.compute_dtype
+        y = nn.LayerNorm(name="layer_norm1", epsilon=1e-5,
+                         dtype=dt)(x)
+        x = x + ClipAttention(self.width, self.heads, dt,
+                              name="self_attn")(y, causal_mask)
+        y = nn.LayerNorm(name="layer_norm2", epsilon=1e-5, dtype=dt)(x)
         y = nn.Dense(self.intermediate_size or 4 * self.width,
-                     name="fc1")(y)
+                     dtype=dt, name="fc1")(y)
         y = quick_gelu(y)
-        x = x + nn.Dense(self.width, name="fc2")(y)
+        x = x + nn.Dense(self.width, dtype=dt, name="fc2")(y)
         return x
 
 
 class ClipTextModel(nn.Module):
-    """CLIP text transformer (ViT-L/14 text tower by default)."""
+    """CLIP text transformer (ViT-L/14 text tower by default).
+
+    `compute_dtype` casts activations for the (frozen) tower — bf16 feeds
+    the MXU at full rate; params stay f32 and outputs are returned f32.
+    """
     vocab_size: int = CLIP_VOCAB
     width: int = 768
     layers: int = 12
@@ -85,6 +94,7 @@ class ClipTextModel(nn.Module):
     context_length: int = CLIP_CONTEXT
     projection_dim: int = 768
     intermediate_size: int = 0  # 0 -> 4 * width
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, mode: str = "pooled"):
@@ -103,13 +113,16 @@ class ClipTextModel(nn.Module):
         proj = self.param("text_projection", nn.initializers.normal(0.02),
                           (self.width, self.projection_dim))
         x = tok[input_ids] + pos[None, :S]
+        cdtype = jnp.dtype(self.compute_dtype)
+        x = x.astype(cdtype)
 
-        causal = jnp.triu(jnp.full((S, S), -jnp.inf, jnp.float32), k=1)
+        causal = jnp.triu(jnp.full((S, S), -1e9, cdtype), k=1)
         causal = causal[None, None]
         for i in range(self.layers):
             x = ClipEncoderLayer(self.width, self.heads,
-                                 self.intermediate_size,
+                                 self.intermediate_size, cdtype,
                                  name=f"layers_{i}")(x, causal)
+        x = x.astype(jnp.float32)
         x = nn.LayerNorm(name="final_layer_norm", epsilon=1e-5)(x)
         if mode == "hidden":
             return x

@@ -134,7 +134,8 @@ class MLD:
             self.clip = ClipTextModel(width=m.text_encoded_dim,
                                       layers=m.clip_layers,
                                       heads=m.clip_heads,
-                                      projection_dim=m.text_encoded_dim)
+                                      projection_dim=m.text_encoded_dim,
+                                      compute_dtype=m.clip_compute_dtype)
             self.clip_mode = "hidden" if m.clip_last_hidden else "features"
             self.tokenizer = ClipTokenizer(m.clip_path)
             self.uncond_ids = jnp.asarray(self.tokenizer([""]))
@@ -244,14 +245,19 @@ class MLD:
             token_ids = token_ids_or_actions
             if self.do_cfg:
                 B = token_ids.shape[0]
-                uncond = jnp.broadcast_to(self.uncond_ids,
-                                          (B, CLIP_CONTEXT))
+                # the uncond embedding is prompt-independent: encode ONE row
+                # and broadcast (the reference re-encodes B copies of "",
+                # mld.py:224-230)
+                uncond_emb = self.encode_text_tokens(params, self.uncond_ids)
+                uncond_emb = jnp.broadcast_to(
+                    uncond_emb, (B,) + uncond_emb.shape[1:])
                 if self.condition == "text_uncond":
-                    token_ids = uncond
-                all_ids = jnp.concatenate([uncond, token_ids], 0)
+                    cond_half = uncond_emb
+                else:
+                    cond_half = self.encode_text_tokens(params, token_ids)
+                cond_emb = jnp.concatenate([uncond_emb, cond_half], 0)
             else:
-                all_ids = token_ids
-            cond_emb = self.encode_text_tokens(params, all_ids)
+                cond_emb = self.encode_text_tokens(params, token_ids)
         else:
             actions = token_ids_or_actions
             if self.do_cfg:
