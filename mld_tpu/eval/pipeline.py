@@ -121,6 +121,39 @@ class Evaluator:
             "align": align,
         }
 
+    def _eval_gt_batch(self, word_embs, pos_ohot, text_lens, motion, mask,
+                       lengths):
+        """Ground-truth-only evaluation (mld.py:771-809 eval_gt)."""
+        mld = self.mld
+        joints_ref = mld.feats2joints(motion) * mask[..., None, None]
+        motion_e = mld.renorm4t2m(motion)
+        align = jnp.argsort(-lengths)
+        motion_e = motion_e[align]
+        m_lens = lengths[align] // self.unit_len
+        lat_m = self.bundle.motion_embedding(motion_e, m_lens)
+        lat_t = self.bundle.text_embedding(word_embs, pos_ohot,
+                                           text_lens)[align]
+        return {"lat_t": lat_t, "lat_m": lat_m, "joints_ref": joints_ref,
+                "align": align}
+
+    def run_gt(self, params, loader, rng) -> Dict:
+        """GT-vs-GT metric run (upper-bound / dataset statistics)."""
+        del params
+        acc = TM2TMetrics(R_size=self.cfg.eval.r_size,
+                          diversity_times=self.cfg.eval.diversity_times)
+        fn = jax.jit(self._eval_gt_batch)
+        for batch in loader:
+            out = fn(jnp.asarray(batch["word_embs"]),
+                     jnp.asarray(batch["pos_ohot"]),
+                     jnp.asarray(batch["text_len"]),
+                     jnp.asarray(batch["motion"]),
+                     jnp.asarray(batch["mask"]),
+                     jnp.asarray(batch["length"]))
+            lengths = np.asarray(batch["length"])[np.asarray(out["align"])]
+            acc.update(np.asarray(out["lat_t"]), np.asarray(out["lat_m"]),
+                       np.asarray(out["lat_m"]), lengths)
+        return acc.compute()
+
     # ------------------------------------------------------------- host driver
     def run_split(self, params, loader, rng, stage="diffusion",
                   metrics=("TM2TMetrics", "TemosMetric"),

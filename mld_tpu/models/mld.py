@@ -300,6 +300,22 @@ class MLD:
         feats = feats * self.std + self.mean
         return (feats - self.mean_eval) / self.std_eval
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def gen_from_latent(self, params, z, mask):
+        """latent -> joints (mld.py:267-275 semantics), jitted."""
+        feats = self.decode_latent(params, z, mask)
+        return self.feats2joints(feats) * mask[..., None, None]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def recon_from_motion(self, params, feats_ref, mask, rng):
+        """motion -> encode -> decode -> joints pair
+        (mld.py:277-288 semantics), jitted."""
+        z, _ = self.encode_motion(params, feats_ref, mask, rng)
+        feats_rst = self.decode_latent(params, z, mask)
+        joints = self.feats2joints(feats_rst) * mask[..., None, None]
+        joints_ref = self.feats2joints(feats_ref) * mask[..., None, None]
+        return joints, joints_ref
+
     # ------------------------------------------------------------ convenience
     def generate(self, params, texts, lengths, rng):
         """Host convenience wrapper: list[str] + list[int] -> list of

@@ -129,9 +129,42 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
     return total, logs
 
 
+def vae_diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
+    """Joint finetune stage (mld.py:818-830): vae recon + diffusion +
+    generated-sample feature/joint losses."""
+    params = {**frozen, **trainable}
+    rng_v, rng_d, rng_g = jax.random.split(rng, 3)
+    total_v, logs_v = vae_loss(mld, trainable, frozen, batch, rng_v)
+    total_d, logs_d = diffusion_loss(mld, trainable, frozen, batch, rng_d)
+
+    # generation pass: sample through the full reverse process
+    feats_ref = batch["motion"]
+    mask = batch["mask"]
+    if mld.condition in ("text", "text_uncond"):
+        gen_in = batch["text_ids"]
+    else:
+        gen_in = batch["action"]
+    gen_feats = mld._generate_impl(params, gen_in, mask, rng_g)
+    gen_joints = mld.feats2joints(gen_feats)
+    joints_ref = mld.feats2joints(feats_ref)
+    gen_feature = smooth_l1(gen_feats, feats_ref)
+    gen_joints_l = smooth_l1(gen_joints, joints_ref)
+
+    cfg = mld.cfg.loss
+    total = (total_v + total_d + cfg.lambda_gen * gen_feature
+             + cfg.lambda_joint * gen_joints_l)
+    logs = {**logs_v, **logs_d, "gen_feature": gen_feature,
+            "gen_joints": gen_joints_l, "total": total}
+    return total, logs
+
+
+_STAGE_LOSSES = {"vae": vae_loss, "diffusion": diffusion_loss,
+                 "vae_diffusion": vae_diffusion_loss}
+
+
 def make_train_step(mld: MLD, stage: str, donate: bool = True):
     """Returns jitted step: (state, batch, rng) -> (state, logs)."""
-    loss_fn = {"vae": vae_loss, "diffusion": diffusion_loss}[stage]
+    loss_fn = _STAGE_LOSSES[stage]
 
     def step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(
@@ -147,7 +180,7 @@ def make_train_step(mld: MLD, stage: str, donate: bool = True):
 
 
 def make_eval_step(mld: MLD, stage: str):
-    loss_fn = {"vae": vae_loss, "diffusion": diffusion_loss}[stage]
+    loss_fn = _STAGE_LOSSES[stage]
 
     def step(state: TrainState, batch, rng):
         _, logs = loss_fn(mld, state.params, state.frozen, batch, rng)
