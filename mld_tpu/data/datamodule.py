@@ -33,7 +33,8 @@ class HumanML3DDataModule:
             if synthesize_if_missing:
                 from .synthetic import build_synthetic_dataset
                 n = 64 if cfg.debug else 256
-                build_synthetic_dataset(self.root, n_samples=n)
+                build_synthetic_dataset(self.root, n_samples=n,
+                                        dataset=self.name)
             else:
                 raise FileNotFoundError(
                     f"dataset not found at {self.root}")

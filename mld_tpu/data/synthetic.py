@@ -30,11 +30,14 @@ _POS = {"walks": "VERB", "forward": "Loc_VIP", "person": "NOUN",
         "a": "DET", "the": "DET"}
 
 
-def synth_joints(T: int, J: int = 22, seed: int = 0) -> np.ndarray:
+def synth_joints(T: int, J: int = 22, seed: int = 0,
+                 raw_offsets=None, chains=None) -> np.ndarray:
     """Smooth random FK walk -> (T, J, 3) joints."""
     rng = np.random.RandomState(seed)
-    skel = Skeleton(T2M_RAW_OFFSETS, T2M_KINEMATIC_CHAIN)
-    offsets = T2M_RAW_OFFSETS * (0.25 + 0.1 * rng.rand(J, 1))
+    raw_offsets = T2M_RAW_OFFSETS if raw_offsets is None else raw_offsets
+    chains = T2M_KINEMATIC_CHAIN if chains is None else chains
+    skel = Skeleton(raw_offsets, chains)
+    offsets = raw_offsets * (0.25 + 0.1 * rng.rand(J, 1))
     skel.set_offsets(offsets)
     ang = np.cumsum(0.02 * rng.randn(T, J, 3), axis=0)
     half = np.linalg.norm(ang, axis=-1, keepdims=True) / 2 + 1e-8
@@ -62,8 +65,21 @@ def _caption(rng) -> tuple[str, str]:
 
 def build_synthetic_dataset(root: str, n_samples: int = 64, seed: int = 0,
                             min_len: int = 45, max_len: int = 199,
-                            splits=(0.7, 0.15, 0.15)) -> str:
-    """Write a synthetic dataset tree under `root`. Returns root."""
+                            splits=(0.7, 0.15, 0.15),
+                            dataset: str = "humanml3d") -> str:
+    """Write a synthetic dataset tree under `root`. Returns root.
+
+    dataset: "humanml3d" (22 joints, 263 feats) or "kit" (21 joints, 251).
+    """
+    from .humanml.param_util import (
+        KIT_FACE_JOINT_IDX, KIT_FID_L, KIT_FID_R, KIT_KINEMATIC_CHAIN,
+        KIT_LOWER_LEG_IDX, KIT_RAW_OFFSETS)
+
+    kit = dataset.lower() == "kit"
+    raw_offsets = KIT_RAW_OFFSETS if kit else None
+    chains = KIT_KINEMATIC_CHAIN if kit else None
+    J = 21 if kit else 22
+
     rng = np.random.RandomState(seed)
     mdir, tdir = pjoin(root, "new_joint_vecs"), pjoin(root, "texts")
     os.makedirs(mdir, exist_ok=True)
@@ -72,8 +88,17 @@ def build_synthetic_dataset(root: str, n_samples: int = 64, seed: int = 0,
     names, feats_all = [], []
     for i in range(n_samples):
         T = int(rng.randint(min_len + 1, max_len))
-        joints = synth_joints(T + 1, seed=seed * 100003 + i)
-        feats, *_ = process_file(joints, 0.002, do_uniform_skeleton=False)
+        joints = synth_joints(T + 1, J=J, seed=seed * 100003 + i,
+                              raw_offsets=raw_offsets, chains=chains)
+        if kit:
+            feats, *_ = process_file(
+                joints, 0.05, do_uniform_skeleton=False,
+                raw_offsets=KIT_RAW_OFFSETS, chains=KIT_KINEMATIC_CHAIN,
+                l_idx=KIT_LOWER_LEG_IDX, fid_r=KIT_FID_R, fid_l=KIT_FID_L,
+                face_joint_idx=KIT_FACE_JOINT_IDX)
+        else:
+            feats, *_ = process_file(joints, 0.002,
+                                     do_uniform_skeleton=False)
         name = f"{i:06d}"
         np.save(pjoin(mdir, name + ".npy"), feats.astype(np.float32))
         cap, toks = _caption(rng)
