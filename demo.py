@@ -77,9 +77,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     all_reps = []
+    times = []
+    import time as _time
     for rep in range(args.replication):
+        t0 = _time.perf_counter()
         joints_list = mld.generate(params, texts, lengths,
                                    jax.random.PRNGKey(rep))
+        times.append(_time.perf_counter() - t0)
         all_reps.append(joints_list)
         for i, joints in enumerate(joints_list):
             stem = f"{args.task}_{lengths[i]}_batch0_{i}"
@@ -94,6 +98,15 @@ def main():
                 save_skeleton_animation(
                     joints, os.path.join(args.out, stem + ".gif"),
                     title=texts[i])
+
+    # timing stats (demo.py:293-313 COUNT_TIME parity; first rep = compile)
+    if len(times) > 1:
+        steady = times[1:]
+        per_motion = sum(steady) / (len(steady) * len(texts))
+        total_frames = sum(lengths) * len(steady)
+        fps = total_frames / sum(steady)
+        print(f"timing: {per_motion * 1e3:.1f} ms/motion  {fps:.0f} frames/s "
+              f"(over {len(steady)} post-compile replications)")
 
     if args.allinone:
         T = max(lengths)

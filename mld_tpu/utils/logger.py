@@ -50,6 +50,17 @@ class ExperimentLogger:
                 self._tb = SummaryWriter(os.path.join(exp_dir, "tb"))
             except Exception:
                 self._tb = None
+        # optional W&B (train.py:63-82 parity); silently off when absent
+        self._wandb = None
+        if os.environ.get("WANDB_PROJECT"):
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=os.environ["WANDB_PROJECT"],
+                    dir=exp_dir, resume="allow",
+                    id=os.environ.get("WANDB_RESUME_ID"))
+            except Exception:
+                self._wandb = None
 
     def _dump_config(self, cfg, phase):
         import dataclasses
@@ -72,6 +83,9 @@ class ExperimentLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"{k}/{split}", float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({f"{k}/{split}": float(v)
+                             for k, v in metrics.items()}, step=step)
 
     def epoch_line(self, epoch: int, metrics: Dict, split: str = "train"):
         try:

@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--stage", type=str, default=None,
                    choices=["vae", "diffusion"])
     p.add_argument("--no_mm", action="store_true")
+    p.add_argument("--gt", action="store_true",
+                   help="also run the ground-truth-only metric pass")
+    p.add_argument("--save_predictions", action="store_true",
+                   help="dump generated joints npys next to the results")
     p.add_argument("--out", type=str, default=None)
     return p.parse_args()
 
@@ -65,6 +69,29 @@ def main():
     results = evaluator.run(params, jax.random.PRNGKey(cfg.seed),
                             replication_times=cfg.test.replication_times,
                             stage=stage, with_mm=not args.no_mm)
+    if args.gt:
+        gt = evaluator.run_gt(params, dm.loader("test", shuffle=False),
+                              jax.random.PRNGKey(0))
+        results.update({f"gt_only/{k}": float(v) for k, v in gt.items()})
+
+    if args.save_predictions or cfg.test.save_predictions:
+        import numpy as np
+        from mld_tpu.models.mld import lengths_to_mask
+        pred_dir = os.path.join(cfg.logger.folder, "mld", cfg.name,
+                                "predictions")
+        os.makedirs(pred_dir, exist_ok=True)
+        count = 0
+        for batch in dm.loader("test", shuffle=False):
+            mask = jnp.asarray(batch["mask"])
+            joints = mld.generate_joints(
+                params, jnp.asarray(batch["text_ids"]), mask,
+                jax.random.PRNGKey(count))
+            joints = np.asarray(joints)
+            for i, L in enumerate(batch["length"]):
+                np.save(os.path.join(pred_dir, f"pred_{count:05d}.npy"),
+                        joints[i, : int(L)])
+                count += 1
+        print(f"saved {count} prediction npys to {pred_dir}")
 
     exp_dir = create_experiment_dir(cfg.logger.folder, "mld", cfg.name,
                                     phase="test")
