@@ -28,6 +28,7 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
 
     cfg = load_config(preset="mld_humanml3d")
     mld = MLD(cfg)
@@ -45,6 +46,11 @@ def main():
     rng = jax.random.PRNGKey(1)
     out = mld.generate_joints(params, token_ids, mask, rng)
     np.asarray(out[0, 0, 0])
+
+    if profile_dir:  # jax.profiler trace (SURVEY §5 tracing parity)
+        with jax.profiler.trace(profile_dir):
+            out = mld.generate_joints(params, token_ids, mask, rng)
+            np.asarray(out[0, 0, 0])
 
     start = time.perf_counter()
     for i in range(iters):

@@ -121,6 +121,8 @@ class TrainConfig:
     seed: int = 1234
     # parallelism: devices along the data axis of the mesh (-1 = all)
     data_parallel: int = -1
+    # rematerialize model forwards in the loss (trade FLOPs for memory)
+    remat: bool = False
 
 
 @dataclass

@@ -73,13 +73,22 @@ def full_params(state: TrainState) -> Dict:
 
 
 # --------------------------------------------------------------------- stages
+def _maybe_remat(mld: MLD, fn):
+    """Rematerialize a forward under the loss when cfg.train.remat is set
+    (trade FLOPs for activation memory — useful for long no-VAE clips)."""
+    return jax.checkpoint(fn) if mld.cfg.train.remat else fn
+
+
 def vae_loss(mld: MLD, trainable, frozen, batch, rng):
     params = {**frozen, **trainable}
     feats_ref = batch["motion"]
     mask = batch["mask"]
     rng_z, _ = jax.random.split(rng)
-    z, (mu, logvar) = mld.encode_motion(params, feats_ref, mask, rng_z)
-    feats_rst = mld.decode_latent(params, z, mask)
+    z, (mu, logvar) = _maybe_remat(
+        mld, lambda p, f: mld.encode_motion(p, f, mask, rng_z))(
+            params, feats_ref)
+    feats_rst = _maybe_remat(
+        mld, lambda p, zz: mld.decode_latent(p, zz, mask))(params, z)
     joints_rst = mld.feats2joints(feats_rst)
     joints_ref = mld.feats2joints(feats_ref)
     total, logs = vae_losses(feats_rst, feats_ref, joints_rst, joints_ref,
@@ -118,9 +127,12 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
     t = jax.random.randint(rng_t, (B,), 0,
                            mld.schedule.num_train_timesteps)
     noisy = mld.noise_scheduler.add_noise(z, noise, t)
-    pred = mld.denoiser.apply(
-        {"params": params["denoiser"]}, noisy, t, cond_emb,
-        mask if not mld.is_vae else None, training=True, cond_rng=rng_cond)
+    denoise_fn = _maybe_remat(
+        mld, lambda p, x: mld.denoiser.apply(
+            {"params": p["denoiser"]}, x, t, cond_emb,
+            mask if not mld.is_vae else None, training=True,
+            cond_rng=rng_cond))
+    pred = denoise_fn(params, noisy)
 
     predict_epsilon = mld.cfg.train.predict_epsilon
     target = noise if predict_epsilon else z
