@@ -1,0 +1,3 @@
+from .schedulers import DDIMScheduler, DDPMScheduler, DiffusionSchedule
+
+__all__ = ["DDIMScheduler", "DDPMScheduler", "DiffusionSchedule"]

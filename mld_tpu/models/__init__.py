@@ -1,0 +1,3 @@
+from .mld import MLD, lengths_to_mask
+
+__all__ = ["MLD", "lengths_to_mask"]
