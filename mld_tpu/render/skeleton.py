@@ -59,6 +59,27 @@ def _draw_pose(ax, pose, radius):
     ax.view_init(elev=120, azim=-90, roll=0)
 
 
+def save_skeleton_sequence(joints: np.ndarray, path: str, num: int = 7,
+                           title: str = "", radius: float = 3.0):
+    """Strip of `num` evenly-spaced poses (the reference's "sequence"
+    render mode, RENDER.MODE=sequence)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    joints = np.asarray(joints)
+    idxs = np.linspace(0, len(joints) - 1, num).astype(int)
+    fig = plt.figure(figsize=(2.2 * num, 2.6))
+    for col, t in enumerate(idxs):
+        ax = fig.add_subplot(1, num, col + 1, projection="3d")
+        _draw_pose(ax, joints[t], radius)
+        ax.set_title(f"t={t}", fontsize=7)
+    fig.suptitle(title, fontsize=9)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def save_skeleton_animation(joints: np.ndarray, path: str,
                             fps: float = 20.0, title: str = "",
                             radius: float = 3.0,
