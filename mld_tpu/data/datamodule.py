@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from mld_tpu.config import Config
-from .collate import A2MCollator, MldCollator
+from .collate import MldCollator
 from .dataset import DataLoader, Text2MotionDataset
 from .word_vectorizer import WordVectorizer
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import codecs
 import os
-import random as pyrandom
 from dataclasses import dataclass
 from os.path import join as pjoin
 from typing import Dict, List, Optional, Sequence

@@ -15,8 +15,6 @@ Exactness traps matched deliberately (SURVEY.md §7 hard part (e)):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

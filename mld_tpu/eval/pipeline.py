@@ -11,7 +11,6 @@ accumulation and FID stay on host (scipy sqrtm), as in the reference.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

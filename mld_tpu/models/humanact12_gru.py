@@ -9,8 +9,6 @@ maps them unchanged onto our per-layer params.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ lax.conv_general_dilated so checkpoint weights map 1:1.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

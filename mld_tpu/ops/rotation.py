@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .quaternion import qmul, quaternion_to_matrix  # re-export base ops
+from .quaternion import quaternion_to_matrix
 
 
 def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:

@@ -10,8 +10,7 @@ axis and params replicated; XLA inserts the gradient all-reduce over ICI.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

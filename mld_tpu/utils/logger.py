@@ -10,7 +10,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 def create_experiment_dir(folder: str, model_type: str, name: str,
