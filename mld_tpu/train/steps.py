@@ -42,10 +42,19 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(lr: float = 1e-4,
-                   weight_decay: float = 1e-2) -> optax.GradientTransformation:
-    """AdamW with torch-default hyperparams (mld.py:88-90 uses torch AdamW)."""
-    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=weight_decay)
+                   weight_decay: float = 1e-2,
+                   skip_nonfinite: bool = True
+                   ) -> optax.GradientTransformation:
+    """AdamW with torch-default hyperparams (mld.py:88-90 uses torch AdamW).
+
+    Wrapped in `apply_if_finite`: a step with non-finite gradients is
+    skipped instead of poisoning the params (the reference has no failure
+    handling at all — SURVEY §5)."""
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=weight_decay)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(mld: MLD, params: Dict, stage: str,
