@@ -84,7 +84,8 @@ class HumanML3DDataModule:
         return self._datasets[split]
 
     def loader(self, split: str, batch_size: Optional[int] = None,
-               shuffle: Optional[bool] = None, seed: int = 0) -> DataLoader:
+               shuffle: Optional[bool] = None, seed: int = 0,
+               drop_last: bool = False) -> DataLoader:
         if batch_size is None:
             batch_size = (self.cfg.train.batch_size if split == "train"
                           else self.cfg.eval.batch_size)
@@ -93,7 +94,7 @@ class HumanML3DDataModule:
         if shuffle is None:
             shuffle = split == "train"
         return DataLoader(self.dataset(split), batch_size, self.collate,
-                          shuffle=shuffle, seed=seed)
+                          shuffle=shuffle, seed=seed, drop_last=drop_last)
 
     # ------------------------------------------------------------- transforms
     def feats2joints_np(self, feats: np.ndarray) -> np.ndarray:

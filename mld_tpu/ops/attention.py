@@ -139,14 +139,40 @@ def sdpa_pallas(q, k, v, key_valid=None, interpret=False):
     return out.reshape(B, H, sq, dh)[:, :, :Sq, :Dh]
 
 
+# Pallas kernels don't support reverse-mode autodiff; pair the fused
+# forward with an analytic XLA backward (recomputed — cheap at these sizes).
+@jax.custom_vjp
+def _sdpa_pallas_ad(q, k, v, key_valid):
+    return sdpa_pallas(q, k, v, key_valid, interpret=not _on_tpu())
+
+
+def _sdpa_pallas_fwd(q, k, v, key_valid):
+    out = sdpa_pallas(q, k, v, key_valid, interpret=not _on_tpu())
+    return out, (q, k, v, key_valid)
+
+
+def _sdpa_pallas_bwd(res, g):
+    q, k, v, key_valid = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: sdpa_xla(q_, k_, v_, key_valid),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_sdpa_pallas_ad.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
+
+
 def sdpa(q, k, v, key_valid=None, use_pallas: Optional[bool] = None):
     """Dispatch: Pallas fused kernel on TPU for non-trivial sizes, else XLA.
 
     The 1–3 token denoiser sequences gain nothing from a custom kernel; the
-    196+ frame VAE/no-VAE sequences do.
+    196+ frame VAE/no-VAE sequences do. Differentiable either way (custom
+    VJP routes the backward through the XLA formulation).
     """
     if use_pallas is None:
         use_pallas = _on_tpu() and q.shape[2] * k.shape[2] >= 32 * 32
     if use_pallas:
-        return sdpa_pallas(q, k, v, key_valid, interpret=not _on_tpu())
+        if key_valid is None:
+            key_valid = jnp.ones((q.shape[0], k.shape[2]), jnp.bool_)
+        return _sdpa_pallas_ad(q, k, v, key_valid)
     return sdpa_xla(q, k, v, key_valid)

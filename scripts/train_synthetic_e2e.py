@@ -70,7 +70,7 @@ def main():
     report = {"steps": args.steps, "backend": jax.default_backend()}
 
     def batches(split="train", seed=0):
-        loader = dm.loader(split, seed=seed)
+        loader = dm.loader(split, seed=seed, drop_last=True)
         while True:
             for b in loader:
                 yield {k: jnp.asarray(v) for k, v in b.items()
@@ -111,10 +111,12 @@ def main():
     ev = Evaluator(cfg, mld, dm)
     rng, r1, r2 = jax.random.split(rng, 3)
     random_params = mld.init_params(jax.random.PRNGKey(99))
-    res_rand = ev.run_split(random_params, dm.loader("test", shuffle=False),
-                            r1, stage="diffusion")
-    res_train = ev.run_split(trained, dm.loader("test", shuffle=False),
-                             r2, stage="diffusion")
+    res_rand = ev.run_split(
+        random_params, dm.loader("test", shuffle=False, drop_last=True),
+        r1, stage="diffusion")
+    res_train = ev.run_split(
+        trained, dm.loader("test", shuffle=False, drop_last=True),
+        r2, stage="diffusion")
     report["eval_random_init"] = {k: float(v) for k, v in res_rand.items()}
     report["eval_trained"] = {k: float(v) for k, v in res_train.items()}
 
