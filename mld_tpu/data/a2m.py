@@ -87,12 +87,22 @@ class HumanAct12Dataset:
         idx = np.arange(total)
         return np.concatenate([idx, np.full(T - total, total - 1)])
 
+    def _rot6d(self, ind: int) -> np.ndarray:
+        """Per-sequence rot6d cache — one batched device call per clip, not
+        one per __getitem__ (matters on remote-attached accelerators)."""
+        if not hasattr(self, "_rot6d_cache"):
+            self._rot6d_cache = {}
+        if ind not in self._rot6d_cache:
+            pose_aa = self._pose[ind].reshape(-1, 24, 3)
+            self._rot6d_cache[ind] = np.asarray(
+                axis_angle_to_rotation_6d(jnp.asarray(pose_aa)))
+        return self._rot6d_cache[ind]
+
     def __getitem__(self, i: int) -> dict:
         ind = int(self.indices[i])
         total = len(self._pose[ind])
         frame_ix = self._frame_ix(total)
-        pose_aa = self._pose[ind][frame_ix].reshape(-1, 24, 3)
-        rot6d = np.asarray(axis_angle_to_rotation_6d(jnp.asarray(pose_aa)))
+        rot6d = self._rot6d(ind)[frame_ix]
         trans = self._joints[ind][frame_ix][:, 0, :]
         trans = trans - trans[0:1]
         padded_tr = np.zeros((rot6d.shape[0], 6), np.float32)

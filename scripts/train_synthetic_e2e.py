@@ -42,7 +42,20 @@ def main():
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="mld_e2e_")
     data_root = os.path.join(workdir, "data")
-    build_synthetic_dataset(data_root, n_samples=args.samples, seed=0)
+    if not os.path.exists(os.path.join(data_root, "Mean.npy")):
+        # generate on CPU in a subprocess — the codec's eager jnp ops are
+        # pathological through the remote-TPU tunnel
+        import subprocess
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        code = ("import sys; sys.path.insert(0, %r); "
+                "from mld_tpu.data.synthetic import build_synthetic_dataset;"
+                " build_synthetic_dataset(%r, n_samples=%d, seed=0)" % (
+                    os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), data_root, args.samples))
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       timeout=900)
 
     overrides = {
         "debug": False,
