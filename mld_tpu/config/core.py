@@ -56,6 +56,7 @@ class ModelConfig:
     normalize_before: bool = False
     position_embedding: str = "learned"
     vae_arch: str = "encoder_decoder"  # encoder_decoder | all_encoder
+    mlp_dist: bool = False             # ABLATION.MLP_DIST
     denoiser_arch: str = "trans_enc"   # trans_enc | trans_dec
     denoiser_num_layers: int = 9
     skip_connect: bool = True

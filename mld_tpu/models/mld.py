@@ -94,7 +94,8 @@ class MLD:
                     dropout=m.dropout, arch=m.vae_arch,
                     normalize_before=m.normalize_before,
                     activation=m.activation,
-                    position_embedding=m.position_embedding)
+                    position_embedding=m.position_embedding,
+                    mlp_dist=m.mlp_dist)
         else:
             self.vae = None
 

@@ -36,6 +36,7 @@ class MldVae(nn.Module):
     normalize_before: bool = False
     activation: str = "gelu"
     position_embedding: str = "learned"
+    mlp_dist: bool = False  # ABLATION.MLP_DIST: Linear head -> (mu|logvar)
     use_pallas: Optional[bool] = None
 
     def setup(self):
@@ -57,9 +58,13 @@ class MldVae(nn.Module):
                 self.activation, self.normalize_before, self.use_pallas)
         else:
             raise ValueError(f"arch {self.arch} not supported")
+        n_tokens = (self.latent_size if self.mlp_dist
+                    else self.latent_size * 2)
         self.global_motion_token = self.param(
             "global_motion_token", nn.initializers.xavier_uniform(),
-            (self.latent_size * 2, d))
+            (n_tokens, d))
+        if self.mlp_dist:
+            self.dist_layer = nn.Dense(2 * d)
         self.skel_embedding = nn.Dense(d)
         self.final_layer = nn.Dense(self.nfeats)
 
@@ -81,8 +86,13 @@ class MldVae(nn.Module):
         xseq = self.query_pos_encoder(xseq)
         out = self.encoder(xseq, aug_valid, deterministic=deterministic)
         dist = out[:, : dist_tokens.shape[1]]
-        mu = dist[:, : self.latent_size]
-        logvar = dist[:, self.latent_size:]
+        if self.mlp_dist:
+            tokens_dist = self.dist_layer(dist)
+            mu = tokens_dist[..., : self.latent_dim]
+            logvar = tokens_dist[..., self.latent_dim:]
+        else:
+            mu = dist[:, : self.latent_size]
+            logvar = dist[:, self.latent_size:]
         return mu, logvar
 
     def encode(self, features, mask, rng: Optional[jax.Array] = None, *,
