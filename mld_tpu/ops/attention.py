@@ -163,14 +163,17 @@ _sdpa_pallas_ad.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
 
 
 def sdpa(q, k, v, key_valid=None, use_pallas: Optional[bool] = None):
-    """Dispatch: Pallas fused kernel on TPU for non-trivial sizes, else XLA.
+    """Dispatch: Pallas fused kernel on TPU for LONG sequences, else XLA.
 
-    The 1–3 token denoiser sequences gain nothing from a custom kernel; the
-    196+ frame VAE/no-VAE sequences do. Differentiable either way (custom
-    VJP routes the backward through the XLA formulation).
+    Measured on v5e (full MLD pipeline, B=64, S=196): XLA is ~3 ms/batch
+    faster — at these sizes XLA fuses the attention into neighboring ops,
+    while a pallas_call is a fusion boundary. The fused kernel pays off once
+    the S x S score tile stops fitting fusion budgets (longer no-VAE
+    sequences), so it engages at S_q*S_k >= 512^2. Differentiable either way
+    (custom VJP routes the backward through the XLA formulation).
     """
     if use_pallas is None:
-        use_pallas = _on_tpu() and q.shape[2] * k.shape[2] >= 32 * 32
+        use_pallas = _on_tpu() and q.shape[2] * k.shape[2] >= 512 * 512
     if use_pallas:
         if key_valid is None:
             key_valid = jnp.ones((q.shape[0], k.shape[2]), jnp.bool_)
