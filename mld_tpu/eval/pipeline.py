@@ -156,8 +156,20 @@ class Evaluator:
     # ------------------------------------------------------------- host driver
     def run_split(self, params, loader, rng, stage="diffusion",
                   metrics=("TM2TMetrics", "TemosMetric"),
-                  mm: bool = False) -> Dict:
+                  mm: bool = False, mesh=None) -> Dict:
+        """`mesh`: optional jax.sharding.Mesh — batch axis sharded over its
+        "data" axis (multi-chip serving-scale eval; the reference evaluates
+        single-GPU only, test.py forces 1 device)."""
         cfg = self.cfg
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_sh = NamedSharding(mesh, P("data"))
+            params = jax.device_put(
+                params, NamedSharding(mesh, P()))
+
+        def place(x):
+            return (jax.device_put(jnp.asarray(x), batch_sh)
+                    if mesh is not None else jnp.asarray(x))
         accs = {}
         if "TM2TMetrics" in metrics:
             accs["TM2TMetrics"] = TM2TMetrics(
@@ -178,17 +190,20 @@ class Evaluator:
 
         for batch in loader:
             rng, srng = jax.random.split(rng)
-            inputs = {k: jnp.asarray(batch[k]) for k in
+            inputs = {k: batch[k] for k in
                       ("text_ids", "word_embs", "pos_ohot", "motion",
                        "mask")}
-            lengths = jnp.asarray(batch["length"])
-            text_lens = jnp.asarray(batch["text_len"])
+            lengths = np.asarray(batch["length"])
+            text_lens = np.asarray(batch["text_len"])
             if mm:
                 reps = self.cfg.eval.mm_num_repeats
-                inputs = {k: jnp.repeat(v, reps, axis=0)
+                inputs = {k: np.repeat(v, reps, axis=0)
                           for k, v in inputs.items()}
-                lengths = jnp.repeat(lengths, reps, axis=0)
-                text_lens = jnp.repeat(text_lens, reps, axis=0)
+                lengths = np.repeat(lengths, reps, axis=0)
+                text_lens = np.repeat(text_lens, reps, axis=0)
+            inputs = {k: place(v) for k, v in inputs.items()}
+            lengths = place(lengths)
+            text_lens = place(text_lens)
             out = self._eval_batch_jit(
                 params, inputs["text_ids"], inputs["word_embs"],
                 inputs["pos_ohot"], text_lens, inputs["motion"],

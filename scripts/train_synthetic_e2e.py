@@ -120,6 +120,12 @@ def main():
                            "seconds": time.time() - t0}
     trained = full_params(state)
 
+    from mld_tpu.utils.checkpoint import save_params_npz
+    params_path = os.path.join(workdir, "trained_params.npz")
+    save_params_npz(params_path, jax.device_get(trained))
+    report["params_path"] = params_path
+    report["data_root"] = data_root
+
     # -------------------------------------------------- eval: random vs trained
     ev = Evaluator(cfg, mld, dm)
     rng, r1, r2 = jax.random.split(rng, 3)
