@@ -15,6 +15,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Serving configuration: bf16-pass matmuls (XLA "default"). Validated on a
+# trained model: FID shift 2.49%, inside the 5% parity budget
+# (docs/precision_report_round1.json; scripts/precision_study.py).
+# Training/parity code paths keep full-f32 ("highest") as the library
+# default. Override with MLD_TPU_MATMUL_PRECISION=highest for ~1450/s f32.
+os.environ.setdefault("MLD_TPU_MATMUL_PRECISION", "default")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
