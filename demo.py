@@ -37,7 +37,13 @@ def parse_args():
     p.add_argument("--checkpoint", type=str, default=None,
                    help="orbax dir / .npz / reference .ckpt")
     p.add_argument("--out", type=str, default="results/demo")
-    p.add_argument("--task", type=str, default="text_motion")
+    p.add_argument("--task", type=str, default="text_motion",
+                   choices=["text_motion", "random_sampling",
+                            "reconstruction"],
+                   help="text->motion, latent-prior sampling, or "
+                        "VAE reconstruction of an input feature npy")
+    p.add_argument("--motion", type=str, default=None,
+                   help="[T, nfeats] feature npy for --task reconstruction")
     p.add_argument("--replication", type=int, default=1)
     p.add_argument("--allinone", action="store_true")
     p.add_argument("--render", action="store_true",
@@ -64,6 +70,9 @@ def main():
     if args.checkpoint:
         params = _load_pretrained(args.checkpoint, params)
         print(f"loaded checkpoint {args.checkpoint}")
+
+    if args.task in ("random_sampling", "reconstruction"):
+        return run_latent_tasks(args, cfg, mld, dm, params)
 
     if args.example:
         texts, lengths = load_example_input(args.example)
@@ -117,6 +126,43 @@ def main():
                 stacked[i, r, : len(j)] = j
         np.save(os.path.join(args.out, f"{args.task}_allinone.npy"), stacked)
         print(f"saved allinone {stacked.shape}")
+
+
+def run_latent_tasks(args, cfg, mld, dm, params):
+    """random_sampling / reconstruction tasks (demo.py:223-289 surface)."""
+    import jax
+    import jax.numpy as jnp
+    from mld_tpu.models.mld import lengths_to_mask
+
+    os.makedirs(args.out, exist_ok=True)
+    T = cfg.dataset.max_motion_len
+    if args.task == "random_sampling":
+        n = max(cfg.test.num_samples, len(args.length or [])) or 4
+        lengths = args.length or [T] * n
+        mask = lengths_to_mask(jnp.asarray(lengths), T)
+        for rep in range(args.replication):
+            z = jax.random.normal(
+                jax.random.PRNGKey(rep),
+                (len(lengths), mld.latent_size, mld.latent_dim))
+            joints = np.asarray(mld.gen_from_latent(params, z, mask))
+            for i, L in enumerate(lengths):
+                stem = f"random_sampling_{L}_batch0_{i}_{rep}"
+                np.save(os.path.join(args.out, stem + ".npy"),
+                        joints[i, :L])
+                print(f"saved {stem}.npy")
+    else:  # reconstruction
+        assert args.motion, "--task reconstruction needs --motion feats npy"
+        feats = np.load(args.motion).astype(np.float32)
+        L = min(len(feats), T)
+        motion = np.zeros((1, T, feats.shape[-1]), np.float32)
+        motion[0, :L] = (feats[:L] - dm.mean) / dm.std
+        mask = lengths_to_mask(jnp.asarray([L]), T)
+        joints, joints_ref = mld.recon_from_motion(
+            params, jnp.asarray(motion), mask, jax.random.PRNGKey(0))
+        stem = os.path.join(args.out, f"reconstruction_{L}")
+        np.save(stem + ".npy", np.asarray(joints)[0, :L])
+        np.save(stem + "_ref.npy", np.asarray(joints_ref)[0, :L])
+        print(f"saved {stem}.npy and reference joints")
 
 
 if __name__ == "__main__":
