@@ -29,7 +29,10 @@ def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def quaternion_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
-    norms = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    # grad-safe norm: d|x|/dx at x=0 is 0/0 = NaN, which poisons any
+    # optimization through an identity rotation (e.g. SMPL fitting init)
+    sumsq = jnp.sum(q[..., 1:] ** 2, axis=-1, keepdims=True)
+    norms = jnp.sqrt(sumsq + 1e-24)
     half = jnp.arctan2(norms, q[..., :1])
     angles = 2 * half
     eps = 1e-6

@@ -11,6 +11,7 @@ TPU matmuls.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -30,15 +31,52 @@ def _identity_rot6d(B):
     return jnp.tile(eye[None], (B, SMPL_NUM_JOINTS, 1))
 
 
+class GMMPosePrior:
+    """Max-mixture Gaussian pose prior (joints2rots/prior.py:52 semantics).
+
+    Loads the reference's gmm_08.pkl (means [K, 69], covars [K, 69, 69],
+    weights [K]) over the 23 body joints' axis-angle pose; energy is the
+    min-over-components weighted Mahalanobis distance, evaluated in jnp.
+    """
+
+    def __init__(self, gmm_path: Optional[str] = None):
+        self.available = False
+        if gmm_path and os.path.exists(gmm_path):
+            import pickle
+            with open(gmm_path, "rb") as f:
+                gmm = pickle.load(f, encoding="latin1")
+            means = np.asarray(gmm["means"], np.float32)
+            covs = np.asarray(gmm["covars"], np.float32)
+            weights = np.asarray(gmm["weights"], np.float32)
+            self.means = jnp.asarray(means)
+            self.precisions = jnp.asarray(np.linalg.inv(covs))
+            # constant per-component: -log w + 0.5 log|Sigma|
+            sign, logdet = np.linalg.slogdet(covs)
+            self.const = jnp.asarray(-np.log(weights) + 0.5 * logdet)
+            self.available = True
+
+    def __call__(self, pose_aa_body: jnp.ndarray) -> jnp.ndarray:
+        """pose_aa_body: [T, 69] axis-angle (joints 1..23) -> scalar energy."""
+        diff = pose_aa_body[:, None, :] - self.means[None]      # [T, K, 69]
+        maha = 0.5 * jnp.einsum("tki,kij,tkj->tk", diff,
+                                self.precisions, diff)
+        return jnp.mean(jnp.min(maha + self.const[None], axis=1))
+
+
 class BatchedSMPLFitter:
     def __init__(self, smpl_path: Optional[str] = None,
                  num_steps: int = 300, lr: float = 0.03,
-                 w_smooth: float = 1.0, w_reg: float = 1e-3):
+                 w_smooth: float = 1.0, w_reg: float = 1e-3,
+                 gmm_path: Optional[str] = None, w_prior: float = 1e-4):
         self.smpl = SMPLLayer(smpl_path)
         self.num_steps = num_steps
         self.lr = lr
         self.w_smooth = w_smooth
         self.w_reg = w_reg
+        self.w_prior = w_prior
+        if gmm_path is None and smpl_path:
+            gmm_path = os.path.join(os.path.dirname(smpl_path), "gmm_08.pkl")
+        self.prior = GMMPosePrior(gmm_path)
         self._fit = jax.jit(self._fit_impl)
 
     def _objective(self, params, target_joints):
@@ -52,7 +90,13 @@ class BatchedSMPLFitter:
             jnp.sum((trans[1:] - trans[:-1]) ** 2, -1))
         ident = _identity_rot6d(rot6d.shape[0])
         reg = jnp.mean(jnp.sum((rot6d - ident) ** 2, (-1, -2)))
-        return data + self.w_smooth * smooth + self.w_reg * reg
+        total = data + self.w_smooth * smooth + self.w_reg * reg
+        if self.prior.available:
+            from mld_tpu.ops.rotation import rotation_6d_to_axis_angle
+            pose_aa = rotation_6d_to_axis_angle(rot6d[:, 1:])  # body joints
+            total = total + self.w_prior * self.prior(
+                pose_aa.reshape(pose_aa.shape[0], -1))
+        return total
 
     def _fit_impl(self, target_joints):
         T = target_joints.shape[0]
