@@ -36,8 +36,9 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     profile_dir = os.environ.get("BENCH_PROFILE", "")
+    preset = os.environ.get("BENCH_PRESET", "mld_humanml3d")
 
-    cfg = load_config(preset="mld_humanml3d")
+    cfg = load_config(preset=preset)
     mld = MLD(cfg)
     params = mld.init_params(jax.random.PRNGKey(0))
 
@@ -67,8 +68,11 @@ def main():
     elapsed = time.perf_counter() - start
 
     motions_per_sec = batch_size * iters / elapsed
+    metric = ("t2m_ddim50_sampling_throughput"
+              if preset == "mld_humanml3d"
+              else f"{preset}_sampling_throughput")
     print(json.dumps({
-        "metric": "t2m_ddim50_sampling_throughput",
+        "metric": metric,
         "value": round(motions_per_sec, 3),
         "unit": "motions/sec/chip",
         "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC, 3),

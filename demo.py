@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("--allinone", action="store_true")
     p.add_argument("--render", action="store_true",
                    help="write skeleton mp4/gif per sample")
+    p.add_argument("--interactive", action="store_true",
+                   help='read "length text" lines from stdin '
+                        '(reference keyboard-input mode)')
     return p.parse_args()
 
 
@@ -74,7 +77,19 @@ def main():
     if args.task in ("random_sampling", "reconstruction"):
         return run_latent_tasks(args, cfg, mld, dm, params)
 
-    if args.example:
+    if args.interactive:
+        texts, lengths = [], []
+        print('enter "length text" lines (empty line to finish):')
+        for line in sys.stdin:
+            s = line.strip()
+            if not s:
+                break
+            head = s.split(" ")[0]
+            lengths.append(int(head))
+            texts.append(s[len(head) + 1:])
+        if not texts:
+            return
+    elif args.example:
         texts, lengths = load_example_input(args.example)
     elif args.text:
         texts = args.text
