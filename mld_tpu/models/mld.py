@@ -184,19 +184,29 @@ class MLD:
 
     # ----------------------------------------------------------------- stages
     def encode_motion(self, params, feats, mask, rng=None, sample_mean=False,
-                      fact: float = 1.0):
-        """VAE encode -> (z, (mu, logvar))."""
+                      fact: float = 1.0, dropout_rng=None):
+        """VAE encode -> (z, (mu, logvar)). Pass dropout_rng to train with
+        dropout active (the reference trains with p=0.1)."""
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.vae.apply({"params": params["vae"]}, feats, mask,
                               rng, sample_mean=sample_mean, fact=fact,
-                              method=self.vae.encode)
+                              deterministic=dropout_rng is None,
+                              method=self.vae.encode, rngs=rngs)
 
-    def decode_latent(self, params, z, mask):
+    def decode_latent(self, params, z, mask, dropout_rng=None):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.vae.apply({"params": params["vae"]}, z, mask,
-                              method=self.vae.decode)
+                              deterministic=dropout_rng is None,
+                              method=self.vae.decode, rngs=rngs)
 
-    def denoise(self, params, sample, t, cond_emb, mask=None):
+    def denoise(self, params, sample, t, cond_emb, mask=None,
+                dropout_rng=None, cond_rng=None, training=False):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.denoiser.apply({"params": params["denoiser"]}, sample, t,
-                                   cond_emb, mask)
+                                   cond_emb, mask,
+                                   deterministic=dropout_rng is None,
+                                   training=training, cond_rng=cond_rng,
+                                   rngs=rngs)
 
     # -------------------------------------------------------------- sampling
     def _init_latents(self, rng, batch_size, mask):

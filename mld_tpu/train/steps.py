@@ -87,16 +87,20 @@ def _maybe_remat(mld: MLD, fn):
     return jax.checkpoint(fn) if mld.cfg.train.remat else fn
 
 
-def vae_loss(mld: MLD, trainable, frozen, batch, rng):
+def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     params = {**frozen, **trainable}
     feats_ref = batch["motion"]
     mask = batch["mask"]
-    rng_z, _ = jax.random.split(rng)
+    rng_z, rng_d1, rng_d2 = jax.random.split(rng, 3)
+    drop1 = rng_d1 if train else None
+    drop2 = rng_d2 if train else None
     z, (mu, logvar) = _maybe_remat(
-        mld, lambda p, f: mld.encode_motion(p, f, mask, rng_z))(
+        mld, lambda p, f: mld.encode_motion(p, f, mask, rng_z,
+                                            dropout_rng=drop1))(
             params, feats_ref)
     feats_rst = _maybe_remat(
-        mld, lambda p, zz: mld.decode_latent(p, zz, mask))(params, z)
+        mld, lambda p, zz: mld.decode_latent(p, zz, mask,
+                                             dropout_rng=drop2))(params, z)
     joints_rst = mld.feats2joints(feats_rst)
     joints_ref = mld.feats2joints(feats_ref)
     total, logs = vae_losses(feats_rst, feats_ref, joints_rst, joints_ref,
@@ -104,7 +108,7 @@ def vae_loss(mld: MLD, trainable, frozen, batch, rng):
     return total, logs
 
 
-def diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
+def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     params = {**frozen, **trainable}
     feats_ref = batch["motion"]
     mask = batch["mask"]
@@ -135,11 +139,12 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
     t = jax.random.randint(rng_t, (B,), 0,
                            mld.schedule.num_train_timesteps)
     noisy = mld.noise_scheduler.add_noise(z, noise, t)
+    rng_dropout = jax.random.fold_in(rng, 7) if train else None
     denoise_fn = _maybe_remat(
-        mld, lambda p, x: mld.denoiser.apply(
-            {"params": p["denoiser"]}, x, t, cond_emb,
-            mask if not mld.is_vae else None, training=True,
-            cond_rng=rng_cond))
+        mld, lambda p, x: mld.denoise(
+            p, x, t, cond_emb, mask if not mld.is_vae else None,
+            dropout_rng=rng_dropout, cond_rng=rng_cond if train else None,
+            training=train))
     pred = denoise_fn(params, noisy)
 
     predict_epsilon = mld.cfg.train.predict_epsilon
@@ -149,13 +154,14 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
     return total, logs
 
 
-def vae_diffusion_loss(mld: MLD, trainable, frozen, batch, rng):
+def vae_diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     """Joint finetune stage (mld.py:818-830): vae recon + diffusion +
     generated-sample feature/joint losses."""
     params = {**frozen, **trainable}
     rng_v, rng_d, rng_g = jax.random.split(rng, 3)
-    total_v, logs_v = vae_loss(mld, trainable, frozen, batch, rng_v)
-    total_d, logs_d = diffusion_loss(mld, trainable, frozen, batch, rng_d)
+    total_v, logs_v = vae_loss(mld, trainable, frozen, batch, rng_v, train)
+    total_d, logs_d = diffusion_loss(mld, trainable, frozen, batch, rng_d,
+                                     train)
 
     # generation pass: sample through the full reverse process
     feats_ref = batch["motion"]
@@ -203,7 +209,8 @@ def make_eval_step(mld: MLD, stage: str):
     loss_fn = _STAGE_LOSSES[stage]
 
     def step(state: TrainState, batch, rng):
-        _, logs = loss_fn(mld, state.params, state.frozen, batch, rng)
+        _, logs = loss_fn(mld, state.params, state.frozen, batch, rng,
+                          train=False)
         return logs
 
     return jax.jit(step)
