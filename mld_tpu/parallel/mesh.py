@@ -8,8 +8,6 @@ layouts), gradient reduction emitted by XLA as ICI all-reduces.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -50,8 +48,7 @@ def replicate_tree(tree, mesh: Mesh):
         lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
-def pad_batch_to_devices(batch: dict, mesh: Mesh,
-                         batch_axis_keys: Optional[set] = None) -> dict:
+def pad_batch_to_devices(batch: dict, mesh: Mesh) -> dict:
     """Right-pad the batch dim so it divides the data-axis size."""
     n = mesh.shape["data"]
 

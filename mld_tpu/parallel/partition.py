@@ -16,7 +16,6 @@ def param_spec(path_names, leaf) -> P:
     """PartitionSpec for one param, keyed on its name path."""
     names = [str(p) for p in path_names]
     last = names[-1]
-    joined = "/".join(names)
     if getattr(leaf, "ndim", 0) < 2:
         return P()
     # FFN up-projection and packed QKV: shard the wide output dim
@@ -28,7 +27,6 @@ def param_spec(path_names, leaf) -> P:
     if last == "kernel" and any(n in ("linear2", "fc2", "out_proj")
                                 for n in names):
         return P("model", None)
-    del joined
     return P()
 
 
