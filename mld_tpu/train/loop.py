@@ -95,7 +95,7 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     train_step = make_train_step(mld, stage, donate=True)
     eval_step = make_eval_step(mld, stage)
 
-    loader = dm.loader("train", seed=cfg.train.seed)
+    loader = dm.loader("train", seed=cfg.train.seed, drop_last=True)
     val_loader = dm.loader("val", shuffle=False)
 
     step_count = 0
