@@ -28,6 +28,31 @@ import numpy as np
 
 BASELINE_MOTIONS_PER_SEC = 1.0 / 0.217  # reference AITS on V100
 
+# peak bf16 TFLOP/s per chip by device kind (MFU denominator)
+_PEAK_TFLOPS = {
+    "v4": 275.0, "v5litepod": 394.0, "v5e": 394.0, "v5p": 459.0,
+    "v6e": 918.0, "v6 lite": 918.0,
+}
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tf in _PEAK_TFLOPS.items():
+        if key in kind:
+            return tf * 1e12
+    return 394.0e12  # assume v5e
+
+
+def _program_flops(fn, *args):
+    """XLA cost-analysis FLOPs for one invocation of the compiled program."""
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
 
 def main():
     from mld_tpu.config import load_config
@@ -68,15 +93,26 @@ def main():
     elapsed = time.perf_counter() - start
 
     motions_per_sec = batch_size * iters / elapsed
+
+    # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip rate
+    flops = _program_flops(
+        lambda p_, ids, m, r: mld.generate_joints(p_, ids, m, r),
+        params, token_ids, mask, rng)
+    mfu = (flops * iters / elapsed / _peak_flops()) if flops else None
+
     metric = ("t2m_ddim50_sampling_throughput"
               if preset == "mld_humanml3d"
               else f"{preset}_sampling_throughput")
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(motions_per_sec, 3),
         "unit": "motions/sec/chip",
         "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+        out["gflop_per_motion"] = round(flops / batch_size / 1e9, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -89,7 +89,9 @@ class DatasetConfig:
     frame_rate: float = 20.0
     word_vectorizer_path: str = "deps/glove"
     # stream batches through the native C++ loader when available
-    native_loader: bool = False
+    # (default on; falls back to the Python path when g++/the .so is
+    # unavailable — see data/datamodule.py)
+    native_loader: bool = True
     smpl_path: str = "deps/smpl_models/smpl"
     nclasses: int = 10
     num_frames: int = 60               # a2m fixed clip length
@@ -158,7 +160,11 @@ class LoggerConfig:
     folder: str = "./experiments"
     save_checkpoint_epoch: int = 200
     log_every_steps: int = 1
-    val_every_steps: int = 200
+    val_every_epochs: int = 200  # validation cadence in epochs (the reference's misnamed VAL_EVERY_STEPS, train.py:152)
+    # run the full eval-metric suite (FID/R-precision/...) on the val split
+    # at the validation cadence, as the reference does (mld.py:811-907);
+    # skipped automatically when the val split is smaller than EVAL.r_size
+    val_metrics: bool = True
     tensorboard: bool = True
 
 

@@ -51,6 +51,21 @@ _register("novae_humanml3d", {
     "dataset": {"name": "humanml3d", "njoints": 22, "nfeats": 263},
 })
 
+_register("novae_stress_s512", {
+    "name": "novae_stress_s512",
+    # long-sequence stressor beyond the reference's T=196: raw-motion
+    # diffusion over 512 frames — the config where the fused Pallas
+    # attention kernel engages by default (ops/attention.py dispatch)
+    "model": {"vae": False, "vae_type": "no", "condition": "text",
+              "latent_size": 1, "latent_dim": 512,
+              "denoiser_arch": "trans_dec", "denoiser_num_layers": 9,
+              "scheduler": {"kind": "ddpm", "num_inference_timesteps": 1000,
+                            "clip_sample": False}},
+    "train": {"stage": "diffusion"},
+    "dataset": {"name": "humanml3d", "njoints": 22, "nfeats": 263,
+                "max_motion_len": 512},
+})
+
 _register("mld_humanact12", {
     "name": "mld_humanact12",
     "model": {"vae": True, "vae_type": "actor", "condition": "action",

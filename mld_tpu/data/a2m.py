@@ -70,10 +70,15 @@ class HumanAct12Dataset:
         self.num_classes = 12
         self.rng = rng or np.random.RandomState(1234)
         n = len(self._pose)
-        split_point = int(0.9 * n)
-        order = np.random.RandomState(0).permutation(n)
-        self.indices = (order[:split_point] if split == "train"
-                        else order[split_point:])
+        if "split" in data:  # explicit split (e.g. UESTC subject partition
+            # written by scripts/prepare_uestc.py, uestc.py:78-88 semantics)
+            key = "train" if split == "train" else "test"
+            self.indices = np.asarray(data["split"][key], int)
+        else:
+            split_point = int(0.9 * n)
+            order = np.random.RandomState(0).permutation(n)
+            self.indices = (order[:split_point] if split == "train"
+                            else order[split_point:])
 
     def __len__(self):
         return len(self.indices)

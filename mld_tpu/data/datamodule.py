@@ -85,7 +85,8 @@ class HumanML3DDataModule:
 
     def loader(self, split: str, batch_size: Optional[int] = None,
                shuffle: Optional[bool] = None, seed: int = 0,
-               drop_last: bool = False) -> DataLoader:
+               drop_last: bool = False,
+               prefetch: Optional[int] = None) -> DataLoader:
         if batch_size is None:
             batch_size = (self.cfg.train.batch_size if split == "train"
                           else self.cfg.eval.batch_size)
@@ -93,6 +94,14 @@ class HumanML3DDataModule:
             batch_size = 1  # data/base.py:100-107 mm override
         if shuffle is None:
             shuffle = split == "train"
+        if prefetch is None:
+            prefetch = 3 if split == "train" else 0
+        if prefetch > 0:
+            from .dataset import PrefetchDataLoader
+            return PrefetchDataLoader(
+                self.dataset(split), batch_size, self.collate,
+                shuffle=shuffle, seed=seed, drop_last=drop_last,
+                prefetch=prefetch)
         return DataLoader(self.dataset(split), batch_size, self.collate,
                           shuffle=shuffle, seed=seed, drop_last=drop_last)
 

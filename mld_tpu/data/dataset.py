@@ -225,6 +225,140 @@ class Text2MotionDatasetLazy(Text2MotionDataset):
         }
 
 
+_POS_LEXICON = {
+    "DET": {"a", "an", "the", "this", "that", "these", "those", "some",
+            "any", "each", "every", "no", "both"},
+    "ADP": {"in", "on", "at", "to", "from", "with", "of", "over", "under",
+            "into", "onto", "through", "across", "around", "before",
+            "after", "between", "behind", "above", "below", "near", "by",
+            "during", "against", "toward", "towards"},
+    "PRON": {"he", "she", "it", "they", "him", "her", "them", "his",
+             "hers", "its", "their", "himself", "herself", "itself",
+             "themselves", "someone", "somebody", "who", "i", "you", "we"},
+    "AUX": {"is", "are", "was", "were", "be", "been", "being", "am",
+            "do", "does", "did", "has", "have", "had", "will", "would",
+            "can", "could", "shall", "should", "may", "might", "must"},
+    "NUM": {"one", "two", "three", "four", "five", "six", "seven", "eight",
+            "nine", "ten", "twice", "once"},
+}
+_VERB_SUFFIXES = ("ing", "ed", "s")
+
+
+def _heuristic_pos(word: str) -> str:
+    """spacy-free POS guess for the raw-text path. VIP words are re-tagged
+    by WordVectorizer anyway (word_vectorizer.py VIP override), so only
+    the non-VIP tags need to be roughly right."""
+    for pos, words in _POS_LEXICON.items():
+        if word in words:
+            return pos
+    if word.endswith("ly"):
+        return "ADV"
+    if word.endswith(("ful", "ous", "ive", "able", "al", "ish")):
+        return "ADJ"
+    if word.endswith("ing"):
+        return "VERB"
+    return "NOUN"
+
+
+def _heuristic_lemma(word: str) -> str:
+    """Crude NOUN/VERB lemmatizer (walks->walk, walking->walk,
+    jumped->jump) standing in for spacy token.lemma_."""
+    for suf, repl in (("ies", "y"), ("ing", ""), ("ed", ""), ("es", ""),
+                      ("s", "")):
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
+            stem = word[: -len(suf)] + repl
+            return stem
+    return word
+
+
+def process_raw_text(sentence: str):
+    """Raw sentence -> (word_list, pos_list), reference
+    RawTextDataset.process_text semantics (dataset.py:735-750): spacy
+    en_core_web_sm when installed, heuristic lexicon tagger otherwise."""
+    sentence = sentence.replace("-", "")
+    try:  # pragma: no cover - spacy not in the base image
+        import spacy
+        nlp = spacy.load("en_core_web_sm")
+        word_list, pos_list = [], []
+        for token in nlp(sentence):
+            word = token.text
+            if not word.isalpha():
+                continue
+            if token.pos_ in ("NOUN", "VERB") and word != "left":
+                word_list.append(token.lemma_)
+            else:
+                word_list.append(word)
+            pos_list.append(token.pos_)
+        return word_list, pos_list
+    except Exception:
+        pass
+    word_list, pos_list = [], []
+    for word in sentence.lower().split():
+        word = "".join(ch for ch in word if ch.isalpha())
+        if not word:
+            continue
+        pos = _heuristic_pos(word)
+        if pos in ("NOUN", "VERB") and word != "left":
+            word_list.append(_heuristic_lemma(word))
+        else:
+            word_list.append(word)
+        pos_list.append(pos)
+    return word_list, pos_list
+
+
+class RawTextDataset:
+    """Free-text eval set: captions without precomputed GloVe token files
+    (reference dataset.py:711-783). Produces evaluator-ready items
+    (word_embs/pos_ohot/text_len) from raw sentences."""
+
+    def __init__(self, lines: Sequence[str], w_vectorizer,
+                 max_text_len: int = 20, default_length: int = 196):
+        self.w_vectorizer = w_vectorizer
+        self.max_text_len = max_text_len
+        self.entries = []
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            # optional "<length> <text>" prefix (demo example format)
+            length = default_length
+            parts = line.split(" ", 1)
+            if parts[0].isdigit() and len(parts) == 2:
+                length, line = int(parts[0]), parts[1]
+            words, pos = process_raw_text(line)
+            tokens = [f"{w}/{p}" for w, p in zip(words, pos)]
+            self.entries.append({"caption": line, "tokens": tokens,
+                                 "length": length})
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, idx: int) -> dict:
+        ent = self.entries[idx]
+        tokens = list(ent["tokens"])
+        if len(tokens) < self.max_text_len:
+            tokens = ["sos/OTHER"] + tokens + ["eos/OTHER"]
+            sent_len = len(tokens)
+            tokens += ["unk/OTHER"] * (self.max_text_len + 2 - sent_len)
+        else:
+            tokens = (["sos/OTHER"] + tokens[: self.max_text_len]
+                      + ["eos/OTHER"])
+            sent_len = len(tokens)
+        embs, ohots = [], []
+        for tok in tokens:
+            e, o = self.w_vectorizer[tok]
+            embs.append(e)
+            ohots.append(o)
+        return {
+            "word_embs": np.stack(embs).astype(np.float32),
+            "pos_ohot": np.stack(ohots).astype(np.float32),
+            "text": ent["caption"],
+            "text_len": sent_len,
+            "length": ent["length"],
+            "tokens": "_".join(tokens),
+        }
+
+
 class TextOnlyDataset:
     """Demo-time dataset: (caption, target length) pairs
     (dataset.py:785 analogue)."""
@@ -267,3 +401,44 @@ class DataLoader:
             if self.drop_last and len(idxs) < self.batch_size:
                 return
             yield self.collate_fn([self.dataset[int(j)] for j in idxs])
+
+
+class PrefetchDataLoader(DataLoader):
+    """DataLoader with background-thread batch preparation.
+
+    The reference leans on torch DataLoader worker processes; here a
+    daemon thread assembles (loads, crops, collates) up to ``prefetch``
+    batches ahead of the training loop so host data work overlaps device
+    compute. numpy slicing/padding releases the GIL for the bulk of the
+    work, and the optional C++ loader (native/loader.cc) moves the file IO
+    off Python entirely.
+    """
+
+    def __init__(self, dataset, batch_size, collate_fn, shuffle=True,
+                 drop_last=False, seed: int = 0, prefetch: int = 3):
+        super().__init__(dataset, batch_size, collate_fn, shuffle,
+                         drop_last, seed)
+        self.prefetch = max(1, prefetch)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for batch in super(PrefetchDataLoader, self).__iter__():
+                    q.put(batch)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()

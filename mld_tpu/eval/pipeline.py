@@ -156,7 +156,9 @@ class Evaluator:
     # ------------------------------------------------------------- host driver
     def run_split(self, params, loader, rng, stage="diffusion",
                   metrics=("TM2TMetrics", "TemosMetric"),
-                  mm: bool = False, mesh=None) -> Dict:
+                  mm: bool = False, mesh=None,
+                  compute_rng: Optional[np.random.RandomState] = None,
+                  diversity_times: Optional[int] = None) -> Dict:
         """`mesh`: optional jax.sharding.Mesh — batch axis sharded over its
         "data" axis (multi-chip serving-scale eval; the reference evaluates
         single-GPU only, test.py forces 1 device)."""
@@ -170,11 +172,12 @@ class Evaluator:
         def place(x):
             return (jax.device_put(jnp.asarray(x), batch_sh)
                     if mesh is not None else jnp.asarray(x))
+        div_times = diversity_times or cfg.eval.diversity_times
         accs = {}
         if "TM2TMetrics" in metrics:
             accs["TM2TMetrics"] = TM2TMetrics(
                 R_size=cfg.eval.r_size,
-                diversity_times=cfg.eval.diversity_times)
+                diversity_times=div_times)
         if "TemosMetric" in metrics:
             accs["TemosMetric"] = ComputeMetrics(
                 njoints=cfg.dataset.njoints, jointstype=cfg.dataset.name
@@ -183,14 +186,14 @@ class Evaluator:
             accs["MRMetrics"] = MRMetrics(njoints=cfg.dataset.njoints)
         if "UncondMetrics" in metrics:
             accs["UncondMetrics"] = UncondMetrics(
-                diversity_times=cfg.eval.diversity_times)
+                diversity_times=div_times)
         if mm:
             accs = {"MMMetrics": MMMetrics(
                 mm_num_times=cfg.eval.mm_num_times)}
 
         for batch in loader:
             rng, srng = jax.random.split(rng)
-            inputs = {k: batch[k] for k in
+            inputs = {k: np.asarray(batch[k]) for k in
                       ("text_ids", "word_embs", "pos_ohot", "motion",
                        "mask")}
             lengths = np.asarray(batch["length"])
@@ -201,37 +204,60 @@ class Evaluator:
                           for k, v in inputs.items()}
                 lengths = np.repeat(lengths, reps, axis=0)
                 text_lens = np.repeat(text_lens, reps, axis=0)
+
+            # pad ragged final batches to the fixed eval batch size so the
+            # jitted program compiles once per split (padded rows get
+            # length 0 => sorted last by the in-graph align, dropped below)
+            n_real = inputs["motion"].shape[0]
+            target_b = cfg.eval.batch_size if not mm else n_real
+            if n_real < target_b:
+                pad_n = target_b - n_real
+                inputs = {k: np.concatenate(
+                    [v, np.zeros((pad_n,) + v.shape[1:], v.dtype)], 0)
+                    for k, v in inputs.items()}
+                lengths = np.concatenate(
+                    [lengths, np.zeros(pad_n, lengths.dtype)])
+                text_lens = np.concatenate(
+                    [text_lens, np.ones(pad_n, text_lens.dtype)])
+
             inputs = {k: place(v) for k, v in inputs.items()}
-            lengths = place(lengths)
-            text_lens = place(text_lens)
             out = self._eval_batch_jit(
                 params, inputs["text_ids"], inputs["word_embs"],
-                inputs["pos_ohot"], text_lens, inputs["motion"],
-                inputs["mask"], lengths, srng, stage=stage)
+                inputs["pos_ohot"], place(text_lens), inputs["motion"],
+                inputs["mask"], place(lengths), srng, stage=stage)
             out = {k: np.asarray(v) for k, v in out.items()}
-            lengths_np = np.asarray(lengths)
-            sorted_lengths = lengths_np[np.asarray(out["align"])]
+            align = out["align"]
+            real_sorted = align < n_real          # padded rows sort last
+            sorted_lengths = lengths[align][real_sorted]
 
             if mm:
                 accs["MMMetrics"].update(out["lat_rm"][None],
                                          np.asarray(batch["length"]))
                 continue
             if "TM2TMetrics" in accs:
-                accs["TM2TMetrics"].update(out["lat_t"], out["lat_rm"],
-                                           out["lat_m"], sorted_lengths)
+                accs["TM2TMetrics"].update(out["lat_t"][real_sorted],
+                                           out["lat_rm"][real_sorted],
+                                           out["lat_m"][real_sorted],
+                                           sorted_lengths)
             if "TemosMetric" in accs:
-                accs["TemosMetric"].update(out["joints_rst"],
-                                           out["joints_ref"], lengths_np)
+                accs["TemosMetric"].update(out["joints_rst"][:n_real],
+                                           out["joints_ref"][:n_real],
+                                           lengths[:n_real])
             if "MRMetrics" in accs:
-                accs["MRMetrics"].update(out["joints_rst"],
-                                         out["joints_ref"], lengths_np)
+                accs["MRMetrics"].update(out["joints_rst"][:n_real],
+                                         out["joints_ref"][:n_real],
+                                         lengths[:n_real])
             if "UncondMetrics" in accs:
-                accs["UncondMetrics"].update(out["lat_m"], sorted_lengths,
-                                             out["lat_rm"])
+                accs["UncondMetrics"].update(out["lat_m"][real_sorted],
+                                             sorted_lengths,
+                                             out["lat_rm"][real_sorted])
 
         results = {}
         for name, acc in accs.items():
-            results.update(acc.compute())
+            try:
+                results.update(acc.compute(rng=compute_rng))
+            except TypeError:  # metric without an rng-aware compute
+                results.update(acc.compute())
         return results
 
     def run(self, params, rng, replication_times: Optional[int] = None,
@@ -242,15 +268,21 @@ class Evaluator:
         all_metrics: Dict[str, list] = {}
         for rep in range(replication_times):
             rng, r1, r2 = jax.random.split(rng, 3)
+            # fresh host rng per replication: the reference draws a new
+            # mm sample subset and metric shuffle each time (test.py:116-131);
+            # reusing seed 0 would understate the reported conf95 intervals
+            rep_rng = np.random.RandomState(rep)
             loader = self.dm.loader("test", shuffle=False,
                                     batch_size=cfg.eval.batch_size)
             res = self.run_split(params, loader, r1, stage=stage,
-                                 metrics=tuple(cfg.eval.metrics))
+                                 metrics=tuple(cfg.eval.metrics),
+                                 compute_rng=rep_rng)
             if with_mm and "TM2TMetrics" in cfg.eval.metrics:
-                self.dm.mm_mode(True, cfg.eval.mm_num_samples)
+                self.dm.mm_mode(True, cfg.eval.mm_num_samples, rng=rep_rng)
                 mm_loader = self.dm.loader("test", shuffle=False)
                 res.update(self.run_split(params, mm_loader, r2,
-                                          stage=stage, mm=True))
+                                          stage=stage, mm=True,
+                                          compute_rng=rep_rng))
                 self.dm.mm_mode(False)
             for k, v in res.items():
                 all_metrics.setdefault(k, []).append(float(v))

@@ -220,6 +220,28 @@ class ClipTokenizer:
         return out
 
 
+def load_hf_clip_weights(modelpath: str) -> dict:
+    """Load a local HF CLIP clone's text-tower weights into our param tree.
+
+    Raising variant of MldTextEncoder._try_load — used where a silent
+    random-CLIP fallback would invalidate the result (parity drill)."""
+    import torch
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(modelpath, name)
+        if os.path.exists(p):
+            if name.endswith(".bin"):
+                sd = torch.load(p, map_location="cpu", weights_only=True)
+            else:
+                from safetensors.torch import load_file
+                sd = load_file(p)
+            params = convert_hf_clip_text(sd)
+            if "token_embedding" not in params:
+                raise ValueError(f"{p} has no CLIP text-tower weights")
+            return params
+    raise FileNotFoundError(
+        f"no pytorch_model.bin / model.safetensors under {modelpath}")
+
+
 class MldTextEncoder:
     """Frozen text encoder bundle: tokenizer + flax CLIP + params.
 

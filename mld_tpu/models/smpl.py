@@ -89,6 +89,8 @@ class SMPLLayer:
         kt = np.asarray(data["kintree_table"])
         self.parents = [-1] + list(kt[0][1:].astype(int))
         self.joints_rest = self.J_regressor @ self.v_template
+        if "f" in data:  # triangle faces for mesh rendering/export
+            self.faces = np.asarray(data["f"], np.int64)
         self.has_asset = True
 
     def joints(self, rot6d: jnp.ndarray,

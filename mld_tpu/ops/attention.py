@@ -30,6 +30,13 @@ except Exception:  # pragma: no cover
 
 NEG_INF = -1e9  # large-negative instead of -inf: keeps fully-masked rows finite
 
+# Pallas dispatch point: fused kernel engages when Sq*Sk >= this.
+# Overridable for A/B benchmarking (scripts/bench_attention.py informs the
+# default; the end-to-end check is bench.py with MLD_TPU_PALLAS_MIN set).
+import os as _os
+PALLAS_MIN_SCORE = int(_os.environ.get("MLD_TPU_PALLAS_MIN",
+                                       str(512 * 512)))
+
 
 def _on_tpu() -> bool:
     try:
@@ -39,11 +46,17 @@ def _on_tpu() -> bool:
 
 
 # ----------------------------------------------------------------- XLA path
-def sdpa_xla(q, k, v, key_valid: Optional[jnp.ndarray] = None):
+def sdpa_xla(q, k, v, key_valid: Optional[jnp.ndarray] = None,
+             dropout_rate: float = 0.0,
+             dropout_rng: Optional[jax.Array] = None):
     """Scaled dot-product attention, XLA-fused.
 
     q: [B, H, Sq, Dh], k/v: [B, H, Sk, Dh], key_valid: [B, Sk] bool
     (True = attend). fp32 softmax regardless of input dtype.
+
+    `dropout_rate`/`dropout_rng`: train-time dropout on the attention
+    probabilities (torch nn.MultiheadAttention(dropout=p) semantics —
+    inverted dropout on the post-softmax weights).
     """
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -52,6 +65,10 @@ def sdpa_xla(q, k, v, key_valid: Optional[jnp.ndarray] = None):
     if key_valid is not None:
         scores = jnp.where(key_valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
@@ -162,7 +179,9 @@ def _sdpa_pallas_bwd(res, g):
 _sdpa_pallas_ad.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
 
 
-def sdpa(q, k, v, key_valid=None, use_pallas: Optional[bool] = None):
+def sdpa(q, k, v, key_valid=None, use_pallas: Optional[bool] = None,
+         dropout_rate: float = 0.0,
+         dropout_rng: Optional[jax.Array] = None):
     """Dispatch: Pallas fused kernel on TPU for LONG sequences, else XLA.
 
     Measured on v5e (full MLD pipeline, B=64, S=196): XLA is ~3 ms/batch
@@ -171,9 +190,15 @@ def sdpa(q, k, v, key_valid=None, use_pallas: Optional[bool] = None):
     the S x S score tile stops fitting fusion budgets (longer no-VAE
     sequences), so it engages at S_q*S_k >= 512^2. Differentiable either way
     (custom VJP routes the backward through the XLA formulation).
+
+    Attention-prob dropout (train time only) forces the XLA path — the fused
+    kernel is an inference/eval kernel.
     """
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return sdpa_xla(q, k, v, key_valid, dropout_rate, dropout_rng)
     if use_pallas is None:
-        use_pallas = _on_tpu() and q.shape[2] * k.shape[2] >= 512 * 512
+        use_pallas = (_on_tpu()
+                      and q.shape[2] * k.shape[2] >= PALLAS_MIN_SCORE)
     if use_pallas:
         if key_valid is None:
             key_valid = jnp.ones((q.shape[0], k.shape[2]), jnp.bool_)

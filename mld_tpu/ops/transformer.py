@@ -69,8 +69,14 @@ class MultiheadAttention(nn.Module):
         def split(x, S):
             return x.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
 
+        # torch nn.MultiheadAttention(dropout=p) drops attention probs in
+        # training; mirror that when a dropout rng collection is available
+        attn_rng = (self.make_rng("dropout")
+                    if not deterministic and self.dropout > 0.0 else None)
         out = sdpa(split(q, Sq), split(k, Sk), split(v, Sk),
-                   key_valid=key_valid, use_pallas=self.use_pallas)
+                   key_valid=key_valid, use_pallas=self.use_pallas,
+                   dropout_rate=self.dropout if attn_rng is not None else 0.0,
+                   dropout_rng=attn_rng)
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, d)
         return out_proj(out)
 

@@ -109,7 +109,7 @@ def save_skeleton_animation(joints: np.ndarray, path: str,
         try:
             anim.save(path, fps=int(fps))
         except Exception:
-            gif = path.rsplit(".", 1)[0] + ".gif"
-            anim.save(gif, writer=PillowWriter(fps=int(fps)))
+            path = path.rsplit(".", 1)[0] + ".gif"
+            anim.save(path, writer=PillowWriter(fps=int(fps)))
     plt.close(fig)
     return path

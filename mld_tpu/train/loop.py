@@ -34,6 +34,9 @@ from mld_tpu.utils.logger import ExperimentLogger, create_experiment_dir
 def _device_batch(batch: Dict, mesh=None) -> Dict:
     keys = ("motion", "mask", "text_ids", "action")
     jb = {k: np.asarray(batch[k]) for k in keys if k in batch}
+    # row_valid marks real rows; pad-to-device-count below may append ghost
+    # rows (all-zero) which must not contribute to averaged losses
+    jb["row_valid"] = np.ones(jb["motion"].shape[0], bool)
     if mesh is not None:
         jb = pad_batch_to_devices(jb, mesh)
         return shard_batch(jb, mesh)
@@ -98,16 +101,28 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     loader = dm.loader("train", seed=cfg.train.seed, drop_last=True)
     val_loader = dm.loader("val", shuffle=False)
 
+    # train-time metric validation (the reference runs the full t2m metric
+    # suite on the val split during training, mld.py:811-907 — FID during
+    # training is the signal users train against, README.md:212)
+    evaluator = None
+    if cfg.logger.val_metrics and cfg.dataset.name in ("humanml3d", "kit"):
+        from mld_tpu.eval.pipeline import Evaluator
+        evaluator = Evaluator(cfg, mld, dm)
+    best_fid = float("inf")
+
     step_count = 0
     for epoch in range(start_epoch, cfg.train.end_epoch):
         epoch_logs = []
         for batch in loader:
             rng, srng = jax.random.split(rng)
             state, logs = train_step(state, _device_batch(batch, mesh), srng)
-            epoch_logs.append({k: float(v) for k, v in logs.items()})
+            # keep logs as device arrays: float() here would block on the
+            # async dispatch every step and serialize host and device work
+            epoch_logs.append(logs)
             step_count += 1
             if max_steps is not None and step_count >= max_steps:
                 break
+        epoch_logs = jax.device_get(epoch_logs)
         mean_logs = {k: float(np.mean([d[k] for d in epoch_logs]))
                      for k in epoch_logs[0]} if epoch_logs else {}
         logger.log_metrics(mean_logs, epoch, "train")
@@ -118,23 +133,63 @@ def train(cfg: Config, max_steps: Optional[int] = None,
             ckpt.save(epoch + 1, state.params, state.opt_state)
             logger.info(f"checkpoint saved at epoch {epoch + 1}")
 
-        if (epoch + 1) % max(cfg.logger.val_every_steps, 1) == 0:
+        if (epoch + 1) % max(cfg.logger.val_every_epochs, 1) == 0:
             val_logs = []
             for batch in val_loader:
                 rng, srng = jax.random.split(rng)
                 logs = eval_step(state, _device_batch(batch, mesh), srng)
-                val_logs.append({k: float(v) for k, v in logs.items()})
+                val_logs.append(logs)
+            val_logs = jax.device_get(val_logs)
             if val_logs:
                 mean_val = {k: float(np.mean([d[k] for d in val_logs]))
                             for k in val_logs[0]}
                 logger.log_metrics(mean_val, epoch, "val")
                 logger.epoch_line(epoch, mean_val, "val")
 
+            if (evaluator is not None
+                    and len(dm.dataset("val")) > cfg.eval.r_size):
+                rng, mrng = jax.random.split(rng)
+                eval_stage = "vae" if stage == "vae" else "diffusion"
+                metric_loader = dm.loader("val", shuffle=False)
+                n_val = len(dm.dataset("val"))
+                try:
+                    mres = evaluator.run_split(
+                        full_params(state), metric_loader, mrng,
+                        stage=eval_stage, metrics=tuple(cfg.eval.metrics),
+                        diversity_times=min(cfg.eval.diversity_times,
+                                            n_val - 1))
+                except AssertionError as e:  # val split too small for R/div
+                    logger.info(f"val metrics skipped: {e}")
+                    mres = {}
+                if mres:
+                    logger.log_metrics(mres, epoch, "val")
+                    logger.epoch_line(epoch, mres, "val-metrics")
+                    fid = mres.get("FID")
+                    if fid is not None and fid < best_fid:
+                        best_fid = fid
+                        ckpt.save(epoch + 1, state.params, state.opt_state)
+                        _write_best(exp_dir, epoch + 1, mres)
+                        logger.info(
+                            f"new best FID {fid:.4f} at epoch {epoch + 1}")
+
         if max_steps is not None and step_count >= max_steps:
             break
 
     ckpt.save(cfg.train.end_epoch, state.params, state.opt_state)
     return full_params(state)
+
+
+def _write_best(exp_dir: str, epoch: int, metrics: Dict):
+    """Best-FID checkpoint pointer (reference keeps every ckpt and the user
+    picks by val FID; we record the pointer explicitly)."""
+    import json
+
+    with open(os.path.join(exp_dir, "best_checkpoint.json"), "w") as f:
+        json.dump({"epoch": epoch,
+                   "checkpoint": os.path.join(exp_dir, "checkpoints",
+                                              str(epoch)),
+                   "metrics": {k: float(v) for k, v in metrics.items()}},
+                  f, indent=2)
 
 
 def _load_pretrained(path: str, params: Dict, only=None) -> Dict:

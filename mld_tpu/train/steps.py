@@ -104,7 +104,8 @@ def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     joints_rst = mld.feats2joints(feats_rst)
     joints_ref = mld.feats2joints(feats_ref)
     total, logs = vae_losses(feats_rst, feats_ref, joints_rst, joints_ref,
-                             mu, logvar, mld.cfg.loss)
+                             mu, logvar, mld.cfg.loss,
+                             row_valid=batch.get("row_valid"))
     return total, logs
 
 
@@ -150,7 +151,8 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     predict_epsilon = mld.cfg.train.predict_epsilon
     target = noise if predict_epsilon else z
     total, logs = diffusion_losses(pred, target, mld.cfg.loss,
-                                   predict_epsilon)
+                                   predict_epsilon,
+                                   row_valid=batch.get("row_valid"))
     return total, logs
 
 
@@ -170,11 +172,16 @@ def vae_diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
         gen_in = batch["text_ids"]
     else:
         gen_in = batch["action"]
-    gen_feats = mld._generate_impl(params, gen_in, mask, rng_g)
+    # the reference computes the generation pass under torch.no_grad()
+    # (mld.py:554-616 test_diffusion_forward): gen losses are monitoring
+    # terms only and must NOT backprop through the reverse-diffusion scan
+    gen_feats = jax.lax.stop_gradient(
+        mld._generate_impl(params, gen_in, mask, rng_g))
     gen_joints = mld.feats2joints(gen_feats)
     joints_ref = mld.feats2joints(feats_ref)
-    gen_feature = smooth_l1(gen_feats, feats_ref)
-    gen_joints_l = smooth_l1(gen_joints, joints_ref)
+    row_valid = batch.get("row_valid")
+    gen_feature = smooth_l1(gen_feats, feats_ref, row_valid=row_valid)
+    gen_joints_l = smooth_l1(gen_joints, joints_ref, row_valid=row_valid)
 
     cfg = mld.cfg.loss
     total = (total_v + total_d + cfg.lambda_gen * gen_feature

@@ -107,6 +107,11 @@ def load_reference_checkpoint(ckpt_path: str, target_params: Dict) -> Dict:
         tree = torch_state_dict_to_flax(sub)
         if top == "denoiser" and "emb_proj_1" in tree:
             tree["emb_proj"] = tree.pop("emb_proj_1")
+        # action condition: reference EmbedAction lives at denoiser.emb_proj,
+        # ours is named emb_proj_action (mld_denoiser.py:74 vs denoiser.py:107)
+        if (top == "denoiser" and "emb_proj" in tree
+                and "emb_proj_action" in target_params.get(top, {})):
+            tree["emb_proj_action"] = tree.pop("emb_proj")
         # the reference strips denoiser.sequence_pos_encoding.pe on load
         # (train.py:186-190) — drop any key absent from our tree
         tree = _prune_to(tree, target_params.get(top, {}))

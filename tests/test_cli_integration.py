@@ -48,7 +48,7 @@ def tiny_overrides(synth_root, tmp, stage="vae"):
                  "mm_num_times": 2},
         "test": {"replication_times": 2},
         "logger": {"folder": str(tmp), "save_checkpoint_epoch": 1,
-                   "val_every_steps": 1, "tensorboard": False},
+                   "val_every_epochs": 1, "tensorboard": False},
     }
 
 

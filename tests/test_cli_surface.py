@@ -30,7 +30,7 @@ def tiny_cfg(tmp_path, **extra):
                     "min_motion_len": 16},
         "train": {"batch_size": 4, "end_epoch": 1},
         "logger": {"folder": str(tmp_path / "exp"),
-                   "save_checkpoint_epoch": 1, "val_every_steps": 1,
+                   "save_checkpoint_epoch": 1, "val_every_epochs": 1,
                    "tensorboard": False},
     }
     cfg.update(extra)

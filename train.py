@@ -19,7 +19,9 @@ def parse_args():
                    help="assets yaml overlay (paths)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--device", type=int, nargs="*", default=None,
-                   help="data-parallel device count (default: all)")
+                   help="device ids, reference-style (--device 0 1 2 3); "
+                        "on TPU the ids select the mesh size — len(ids) "
+                        "devices along the data axis (default: all)")
     p.add_argument("--nodebug", action="store_true")
     p.add_argument("--resume", type=str, default=None,
                    help="experiment dir to resume")
