@@ -126,6 +126,9 @@ class TrainConfig:
     data_parallel: int = -1
     # rematerialize model forwards in the loss (trade FLOPs for memory)
     remat: bool = False
+    # optimizer steps fused into one lax.scan program per dispatch
+    # (amortizes launch latency; >1 is single-device only)
+    steps_per_dispatch: int = 1
 
 
 @dataclass

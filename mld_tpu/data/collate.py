@@ -80,12 +80,15 @@ class NativeMldCollator(MldCollator):
             "length": lengths,
             "mask": lengths_to_mask_np(lengths, self.max_motion_len),
             "text": [it["text"] for it in items],
-            "word_embs": np.stack([it["word_embs"] for it in items]),
-            "pos_ohot": np.stack([it["pos_ohot"] for it in items]),
             "text_len": np.asarray([it["text_len"] for it in items],
                                    np.int32),
             "tokens": [it.get("tokens", "") for it in items],
         }
+        if "word_embs" in items[0]:
+            batch["word_embs"] = np.stack(
+                [it["word_embs"] for it in items])
+            batch["pos_ohot"] = np.stack(
+                [it["pos_ohot"] for it in items])
         if self.tokenizer is not None:
             batch["text_ids"] = np.asarray(
                 self.tokenizer(batch["text"]), np.int32)

@@ -76,7 +76,10 @@ class HumanML3DDataModule:
             max_motion_length=ds.max_motion_len,
             min_motion_length=ds.min_motion_len,
             max_text_len=ds.max_text_len, unit_length=ds.unit_len,
-            fps=ds.frame_rate, tiny=tiny, debug=self.cfg.debug)
+            fps=ds.frame_rate, tiny=tiny, debug=self.cfg.debug,
+            # GloVe/POS features feed the t2m evaluators only; the train
+            # split skips them (dominant host cost of the training loop)
+            with_eval_embeddings=split != "train")
 
     def dataset(self, split: str):
         if split not in self._datasets:

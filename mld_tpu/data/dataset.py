@@ -39,10 +39,15 @@ class Text2MotionDataset:
                  max_motion_length: int = 196, min_motion_length: int = 40,
                  max_text_len: int = 20, unit_length: int = 4,
                  fps: float = 20.0, tiny: bool = False,
-                 debug: bool = False, rng: Optional[np.random.RandomState] = None):
+                 debug: bool = False, rng: Optional[np.random.RandomState] = None,
+                 with_eval_embeddings: bool = True):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.w_vectorizer = w_vectorizer
+        # GloVe word/POS features are only consumed by the t2m evaluators
+        # (val/test); skipping them on the train split removes the dominant
+        # per-sample host cost (the training step is host-bound otherwise)
+        self.with_eval_embeddings = with_eval_embeddings
         self.max_motion_length = max_motion_length
         self.min_motion_length = min_motion_length
         self.max_text_len = max_text_len
@@ -142,13 +147,16 @@ class Text2MotionDataset:
         motion, m_length = item["motion"], item["length"]
         entry = item["text"][self.rng.randint(len(item["text"]))]
 
-        if self.w_vectorizer is not None:
+        if self.w_vectorizer is not None and self.with_eval_embeddings:
             word_embs, pos_ohot, sent_len = self._tokens_to_embeddings(
                 list(entry.tokens))
-        else:
+        elif self.with_eval_embeddings:
             word_embs = np.zeros((self.max_text_len + 2, 300), np.float32)
             pos_ohot = np.zeros((self.max_text_len + 2, 15), np.float32)
             sent_len = 0
+        else:
+            word_embs = pos_ohot = None
+            sent_len = len(entry.tokens)
 
         # random crop to unit-length multiples (dataset.py:409-420)
         unit = self.unit_length
@@ -164,15 +172,17 @@ class Text2MotionDataset:
         motion = (motion - self.mean) / self.std
         if np.isnan(motion).any():
             raise ValueError(f"nan in motion {self.name_list[idx]}")
-        return {
-            "word_embs": word_embs.astype(np.float32),
-            "pos_ohot": pos_ohot.astype(np.float32),
+        out = {
             "text": entry.caption,
             "text_len": sent_len,
             "motion": motion.astype(np.float32),
             "length": m_length,
             "tokens": "_".join(entry.tokens),
         }
+        if word_embs is not None:
+            out["word_embs"] = word_embs.astype(np.float32)
+            out["pos_ohot"] = pos_ohot.astype(np.float32)
+        return out
 
 
 class Text2MotionDatasetLazy(Text2MotionDataset):
@@ -198,13 +208,16 @@ class Text2MotionDatasetLazy(Text2MotionDataset):
         item = self.data[self.name_list[idx]]
         m_length = item["length"]
         entry = item["text"][self.rng.randint(len(item["text"]))]
-        if self.w_vectorizer is not None:
+        if self.w_vectorizer is not None and self.with_eval_embeddings:
             word_embs, pos_ohot, sent_len = self._tokens_to_embeddings(
                 list(entry.tokens))
-        else:
+        elif self.with_eval_embeddings:
             word_embs = np.zeros((self.max_text_len + 2, 300), np.float32)
             pos_ohot = np.zeros((self.max_text_len + 2, 15), np.float32)
             sent_len = 0
+        else:
+            word_embs = pos_ohot = None
+            sent_len = len(entry.tokens)
         unit = self.unit_length
         coin2 = (self.rng.choice(["single", "single", "double"])
                  if unit < 10 else "single")
@@ -213,16 +226,18 @@ class Text2MotionDatasetLazy(Text2MotionDataset):
         else:
             m_length = (m_length // unit) * unit
         start = self.rng.randint(0, item["length"] - m_length + 1)
-        return {
+        out = {
             "motion_path": item["path"],
             "motion_start": item["offset"] + start,
-            "word_embs": word_embs.astype(np.float32),
-            "pos_ohot": pos_ohot.astype(np.float32),
             "text": entry.caption,
             "text_len": sent_len,
             "length": m_length,
             "tokens": "_".join(entry.tokens),
         }
+        if word_embs is not None:
+            out["word_embs"] = word_embs.astype(np.float32)
+            out["pos_ohot"] = pos_ohot.astype(np.float32)
+        return out
 
 
 _POS_LEXICON = {

@@ -70,7 +70,27 @@ def build_synthetic_dataset(root: str, n_samples: int = 64, seed: int = 0,
     """Write a synthetic dataset tree under `root`. Returns root.
 
     dataset: "humanml3d" (22 joints, 263 feats) or "kit" (21 joints, 251).
+
+    Generation is pinned to the CPU backend: each sample runs the FK +
+    codec jnp programs at its own length, and compiling hundreds of tiny
+    per-length programs on a (tunneled) TPU takes minutes for work that is
+    sub-second on host.
     """
+    import contextlib
+
+    import jax
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu)
+    except Exception:  # pragma: no cover - cpu backend always exists
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _build_synthetic_impl(root, n_samples, seed, min_len,
+                                     max_len, splits, dataset)
+
+
+def _build_synthetic_impl(root, n_samples, seed, min_len, max_len,
+                          splits, dataset) -> str:
     from .humanml.param_util import (
         KIT_FACE_JOINT_IDX, KIT_FID_L, KIT_FID_R, KIT_KINEMATIC_CHAIN,
         KIT_LOWER_LEG_IDX, KIT_RAW_OFFSETS)
@@ -88,7 +108,11 @@ def build_synthetic_dataset(root: str, n_samples: int = 64, seed: int = 0,
     names, feats_all = [], []
     for i in range(n_samples):
         T = int(rng.randint(min_len + 1, max_len))
-        joints = synth_joints(T + 1, J=J, seed=seed * 100003 + i,
+        # synthesize at ONE fixed length and crop the features: every jnp
+        # op in FK + the codec then compiles exactly once (per-unique-T
+        # eager compiles dominate build time otherwise), and a feature
+        # crop is exactly how the reference datasets shorten stored clips
+        joints = synth_joints(max_len + 1, J=J, seed=seed * 100003 + i,
                               raw_offsets=raw_offsets, chains=chains)
         if kit:
             feats, *_ = process_file(
@@ -99,6 +123,7 @@ def build_synthetic_dataset(root: str, n_samples: int = 64, seed: int = 0,
         else:
             feats, *_ = process_file(joints, 0.002,
                                      do_uniform_skeleton=False)
+        feats = feats[:T]
         name = f"{i:06d}"
         np.save(pjoin(mdir, name + ".npy"), feats.astype(np.float32))
         cap, toks = _caption(rng)

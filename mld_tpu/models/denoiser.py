@@ -86,6 +86,9 @@ class MldDenoiser(nn.Module):
     nclasses: int = 10
     guidance_scale: float = 7.5
     guidance_uncondp: float = 0.1
+    # learned-PE table length (reference fixes 500, position_encoding.py:140;
+    # raised for the >500-frame stress preset)
+    pe_max_len: int = 500
     use_pallas: Optional[bool] = None
 
     def setup(self):
@@ -109,7 +112,8 @@ class MldDenoiser(nn.Module):
         else:
             raise ValueError(f"condition {self.condition} not supported")
 
-        self.query_pos = build_position_encoding(d, self.position_embedding)
+        self.query_pos = build_position_encoding(
+            d, self.position_embedding, max_len=self.pe_max_len)
         if self.arch == "trans_enc":
             if self.skip_connect:
                 self.encoder = SkipTransformerEncoder(
@@ -122,7 +126,8 @@ class MldDenoiser(nn.Module):
                     self.dropout, self.activation, self.normalize_before,
                     use_pallas=self.use_pallas)
         elif self.arch == "trans_dec":
-            self.mem_pos = build_position_encoding(d, self.position_embedding)
+            self.mem_pos = build_position_encoding(
+                d, self.position_embedding, max_len=self.pe_max_len)
             self.decoder = TransformerDecoder(
                 d, self.num_heads, self.num_layers, self.ff_size, self.dropout,
                 self.activation, self.normalize_before,

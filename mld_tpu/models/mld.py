@@ -112,7 +112,8 @@ class MLD:
             arch=m.denoiser_arch, skip_connect=m.skip_connect,
             diffusion_only=not self.is_vae, text_encoded_dim=m.text_encoded_dim,
             nclasses=m.nclasses, guidance_scale=m.guidance_scale,
-            guidance_uncondp=m.guidance_uncondp)
+            guidance_uncondp=m.guidance_uncondp,
+            pe_max_len=max(500, self.max_frames + 8))
 
         sched_cfg = m.scheduler
         prediction_type = ("epsilon" if cfg.train.predict_epsilon
@@ -201,12 +202,52 @@ class MLD:
 
     def denoise(self, params, sample, t, cond_emb, mask=None,
                 dropout_rng=None, cond_rng=None, training=False):
+        if (not training and dropout_rng is None
+                and self._use_fused_denoiser()):
+            from mld_tpu.ops.fused_denoiser import fused_denoiser_forward
+            m = self.cfg.model
+            return fused_denoiser_forward(
+                params["denoiser"], sample, t, cond_emb,
+                num_heads=m.num_heads, num_layers=m.denoiser_num_layers,
+                latent_dim=m.latent_dim,
+                text_encoded_dim=m.text_encoded_dim,
+                condition=self.condition)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.denoiser.apply({"params": params["denoiser"]}, sample, t,
                                    cond_emb, mask,
                                    deterministic=dropout_rng is None,
                                    training=training, cond_rng=cond_rng,
                                    rngs=rngs)
+
+    def _use_fused_denoiser(self) -> bool:
+        """Serving path: fused Pallas layer kernels for the short-token
+        latent denoiser (ops/fused_denoiser.py). Auto on TPU; override
+        with MLD_TPU_FUSED_DENOISER=0/1."""
+        import os
+
+        from mld_tpu.ops.fused_denoiser import can_fuse
+
+        flag = os.environ.get("MLD_TPU_FUSED_DENOISER", "auto")
+        if flag == "0":
+            return False
+        # pooled text token / action embedding = 1 token; clip_hidden
+        # mode conditions on all 77 hidden states (not a short sequence)
+        cond_tokens = (CLIP_CONTEXT if self.cfg.model.clip_last_hidden
+                       else 1)
+        ok = self.is_vae and can_fuse(self.denoiser, self.latent_size,
+                                      cond_tokens)
+        if not ok:
+            return False
+        if flag == "1":
+            return True
+        try:
+            # auto mode stays single-device: SPMD cannot auto-partition a
+            # pallas_call, so sharded multi-chip eval keeps the XLA path
+            # (force with MLD_TPU_FUSED_DENOISER=1 under shard_map)
+            return (jax.default_backend() == "tpu"
+                    and jax.device_count() == 1)
+        except Exception:  # pragma: no cover
+            return False
 
     # -------------------------------------------------------------- sampling
     def _init_latents(self, rng, batch_size, mask):

@@ -1,0 +1,96 @@
+"""Serving-path latent denoiser forward built on the fused Pallas layer.
+
+Re-implements MldDenoiser's latent trans_enc+skip forward
+(mld_tpu/models/denoiser.py:167-182) directly over the raw param tree,
+replacing each TransformerEncoderLayer application with ONE fused Pallas
+kernel (ops/fused_layer.py). Everything around the layers (timestep
+sinusoid + MLP, text projection, learned PE, U-Net skip cat+linear, final
+norm) stays XLA — those are one-shot cheap ops per denoise step.
+
+Used by MLD.denoise for inference when the token count is short
+(fused-layer regime) and the backend is TPU; training and long-sequence
+paths keep the flax/XLA module. Parameter tree is IDENTICAL to the flax
+module — converted checkpoints work unchanged.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .embeddings import get_timestep_embedding
+from .fused_layer import MAX_S, fused_skip_encoder
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def can_fuse(denoiser, latent_size: int, cond_tokens: int) -> bool:
+    """Fused path applies to: latent mode (not diffusion_only), trans_enc
+    with skip connections, post-norm, and a short token sequence."""
+    return (not denoiser.diffusion_only
+            and denoiser.arch == "trans_enc"
+            and denoiser.skip_connect
+            and not denoiser.normalize_before
+            and denoiser.position_embedding in ("v3", "learned")
+            and latent_size + 1 + cond_tokens <= MAX_S)
+
+
+def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
+                           *, num_heads: int, num_layers: int,
+                           latent_dim: int, text_encoded_dim: int,
+                           flip_sin_to_cos: bool = True,
+                           freq_shift: float = 0.0,
+                           condition: str = "text",
+                           interpret=None) -> jnp.ndarray:
+    """params: the MldDenoiser flax param tree. sample [B, L, D];
+    encoder_hidden_states [B, S_text, text_dim] (text) or [B] ids (action).
+    Returns [B, L, D]."""
+    B, L, D = sample.shape
+
+    # 1. timestep embedding (denoiser.py:149-152)
+    timesteps = jnp.broadcast_to(jnp.asarray(timestep), (B,))
+    proj_dim = text_encoded_dim if condition in ("text", "text_uncond") \
+        else latent_dim
+    t_sin = get_timestep_embedding(timesteps, proj_dim, flip_sin_to_cos,
+                                   freq_shift).astype(sample.dtype)
+    te = params["time_embedding"]
+    h = _dense(te["linear_1"], t_sin)
+    h = h * (1.0 / (1.0 + jnp.exp(-h)))      # silu
+    time_emb = _dense(te["linear_2"], h)[:, None, :]  # [B, 1, d]
+
+    # 2. condition tokens (denoiser.py:154-165)
+    if condition in ("text", "text_uncond"):
+        text_emb = encoder_hidden_states
+        if text_encoded_dim != latent_dim:
+            text_lat = _dense(params["emb_proj"],
+                              jnp.maximum(text_emb, 0.0))
+        else:
+            text_lat = text_emb
+        emb_latent = jnp.concatenate([time_emb, text_lat], axis=1)
+    else:
+        table = params["emb_proj_action"]["action_embedding"]
+        ids = encoder_hidden_states.reshape(-1).astype(jnp.int32)
+        act = table[ids]
+        half = act.shape[0] // 2
+        is_uncond = (jnp.arange(act.shape[0]) < half)[:, None]
+        act = jnp.where(is_uncond, 0.0, act)  # eval CFG masking
+        emb_latent = jnp.concatenate([time_emb, act[:, None, :]], axis=1)
+
+    # 3. tokens + learned PE (denoiser.py:172-174)
+    xseq = jnp.concatenate([sample, emb_latent], axis=1)
+    S = xseq.shape[1]
+    pe = params["query_pos"]["pe"]          # [max_len, 1, D]
+    xseq = xseq + pe[:S, 0][None]
+
+    # 4. the WHOLE skip-connected encoder stack as one Pallas program:
+    # grid over layers, weights streamed with double-buffering, skip
+    # stack in VMEM scratch (ops/fused_layer.fused_skip_encoder)
+    enc = params["encoder"]
+    x = fused_skip_encoder(xseq, enc, num_layers, num_heads,
+                           interpret=interpret)
+    norm = enc["norm"]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    x = (x - mu) / jnp.sqrt(var + 1e-5) * norm["scale"] + norm["bias"]
+
+    return x[:, :L]

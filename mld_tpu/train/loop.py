@@ -43,6 +43,70 @@ def _device_batch(batch: Dict, mesh=None) -> Dict:
     return {k: jnp.asarray(v) for k, v in jb.items()}
 
 
+def device_prefetch(loader, mesh=None, depth: int = 2, group: int = 1):
+    """Iterate device-resident batches, transferring ahead of the loop.
+
+    On a tunneled/remote device, host->device transfers serialize with
+    queued compute when issued from the dispatching thread (measured
+    +110 ms/step at flagship batch); staging `_device_batch` from a
+    daemon thread overlaps the next batch's transfer with the current
+    step. Depth 2 = classic double buffering.
+
+    With ``group`` > 1 (single-device only), full groups of ``group``
+    consecutive batches are stacked host-side along a new leading step
+    axis and transferred as ONE super-batch for `make_train_scan`;
+    yields ("scan", batches[K, ...]) for full groups and ("step", batch)
+    for the epoch-tail leftovers.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def stage_one(batch):
+        return ("step", _device_batch(batch, mesh))
+
+    def stage_group(batches):
+        keys = ("motion", "mask", "text_ids", "action")
+        jb = {k: np.stack([np.asarray(b[k]) for b in batches])
+              for k in keys if k in batches[0]}
+        jb["row_valid"] = np.ones(jb["motion"].shape[:2], bool)
+        return ("scan", {k: jnp.asarray(v) for k, v in jb.items()})
+
+    def producer():
+        try:
+            pend = []
+            for batch in loader:
+                if group <= 1:
+                    q.put(stage_one(batch))
+                    continue
+                pend.append(batch)
+                if len(pend) == group:
+                    q.put(stage_group(pend))
+                    pend = []
+            for batch in pend:  # epoch tail: single steps
+                q.put(stage_one(batch))
+        except BaseException as e:  # surface worker errors in the consumer
+            q.put(e)
+            return
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        if group <= 1:
+            yield item[1]
+        else:
+            yield item
+
+
 def train(cfg: Config, max_steps: Optional[int] = None,
           resume: bool = False) -> Dict:
     """Run one training stage. Returns final params."""
@@ -97,6 +161,11 @@ def train(cfg: Config, max_steps: Optional[int] = None,
 
     train_step = make_train_step(mld, stage, donate=True)
     eval_step = make_eval_step(mld, stage)
+    # multi-step scan program: K optimizer steps per dispatch/transfer
+    # (single-device; the mesh path keeps per-step pjit programs)
+    spd = max(1, cfg.train.steps_per_dispatch) if mesh is None else 1
+    train_scan = (make_train_scan(mld, stage, donate=True)
+                  if spd > 1 else None)
 
     loader = dm.loader("train", seed=cfg.train.seed, drop_last=True)
     val_loader = dm.loader("val", shuffle=False)
@@ -113,9 +182,18 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     step_count = 0
     for epoch in range(start_epoch, cfg.train.end_epoch):
         epoch_logs = []
-        for batch in loader:
+        for item in device_prefetch(loader, mesh, group=spd):
             rng, srng = jax.random.split(rng)
-            state, logs = train_step(state, _device_batch(batch, mesh), srng)
+            if spd > 1:
+                kind, dbatch = item
+                if kind == "scan":
+                    state, logs = train_scan(state, dbatch, srng)
+                    step_count += int(
+                        jax.tree_util.tree_leaves(dbatch)[0].shape[0]) - 1
+                else:
+                    state, logs = train_step(state, dbatch, srng)
+            else:
+                state, logs = train_step(state, item, srng)
             # keep logs as device arrays: float() here would block on the
             # async dispatch every step and serialize host and device work
             epoch_logs.append(logs)

@@ -80,6 +80,20 @@ def full_params(state: TrainState) -> Dict:
     return {**state.frozen, **state.params}
 
 
+def _fast_dropout_key(rng):
+    """Typed `rbg` key for the dropout stream.
+
+    threefry bit generation for the per-layer dropout masks is the single
+    most expensive part of a training step on TPU — the compiled HLO is
+    dominated by u32 round tensors ([B,T,F]-shaped, thousands of ops).
+    XLA's RngBitGenerator (`rbg`) emits bits at near-HBM speed; dropout
+    needs a statistical stream, not a splittable-crypto one. Noise /
+    timestep / latent sampling keep threefry (parity tests replay those
+    exact streams)."""
+    seed = jax.random.bits(rng, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(seed, impl="rbg")
+
+
 # --------------------------------------------------------------------- stages
 def _maybe_remat(mld: MLD, fn):
     """Rematerialize a forward under the loss when cfg.train.remat is set
@@ -91,9 +105,11 @@ def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     params = {**frozen, **trainable}
     feats_ref = batch["motion"]
     mask = batch["mask"]
-    rng_z, rng_d1, rng_d2 = jax.random.split(rng, 3)
-    drop1 = rng_d1 if train else None
-    drop2 = rng_d2 if train else None
+    rng_z, rng_d = jax.random.split(rng)
+    if train:
+        drop1, drop2 = jax.random.split(_fast_dropout_key(rng_d))
+    else:
+        drop1 = drop2 = None
     z, (mu, logvar) = _maybe_remat(
         mld, lambda p, f: mld.encode_motion(p, f, mask, rng_z,
                                             dropout_rng=drop1))(
@@ -140,7 +156,8 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     t = jax.random.randint(rng_t, (B,), 0,
                            mld.schedule.num_train_timesteps)
     noisy = mld.noise_scheduler.add_noise(z, noise, t)
-    rng_dropout = jax.random.fold_in(rng, 7) if train else None
+    rng_dropout = (_fast_dropout_key(jax.random.fold_in(rng, 7))
+                   if train else None)
     denoise_fn = _maybe_remat(
         mld, lambda p, x: mld.denoise(
             p, x, t, cond_emb, mask if not mld.is_vae else None,
@@ -210,6 +227,37 @@ def make_train_step(mld: MLD, stage: str, donate: bool = True):
         return new_state, logs
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_scan(mld: MLD, stage: str, donate: bool = True):
+    """Returns jitted multi-step program: (state, batches, rng) ->
+    (state, logs[K]) where `batches` is a batch dict with a leading
+    step axis [K, ...] and the K optimizer steps run as one lax.scan.
+
+    One dispatch + one host->device transfer per K steps: per-step launch
+    latency (which dominates on tunneled/remote devices and adds host
+    jitter everywhere) is amortized K-fold. Semantics are identical to
+    calling make_train_step K times.
+    """
+    loss_fn = _STAGE_LOSSES[stage]
+
+    def multi(state: TrainState, batches, rng):
+        k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, k)
+
+        def body(st, inp):
+            batch, srng = inp
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(mld, p, st.frozen, batch, srng),
+                has_aux=True)
+            (_, logs), grads = grad_fn(st.params)
+            logs = dict(logs)
+            logs["grad_norm"] = optax.global_norm(grads)
+            return st.apply_gradients(grads), logs
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(mld: MLD, stage: str):

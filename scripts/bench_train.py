@@ -24,6 +24,20 @@ def main():
                    choices=["vae", "diffusion"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--pipeline", action="store_true",
+                   help="drive the REAL input pipeline (synthetic dataset, "
+                        "loader + collate + host->device) instead of a "
+                        "fixed device batch — measures host-boundness")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="with --pipeline: disable the background-thread "
+                        "prefetch loader (A/B)")
+    p.add_argument("--spd", type=int, default=1,
+                   help="with --pipeline: optimizer steps fused per "
+                        "dispatch (train.steps_per_dispatch)")
+    p.add_argument("--data-root", default="/tmp/mld_bench_data2k")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override model dropout (A/B the attention-prob "
+                        "dropout cost)")
     args = p.parse_args()
 
     import jax
@@ -32,7 +46,11 @@ def main():
     from mld_tpu.models.mld import MLD
     from mld_tpu.train.steps import create_train_state, make_train_step
 
-    cfg = load_config(preset="mld_humanml3d")
+    over = ({"model": {"dropout": args.dropout}}
+            if args.dropout is not None else None)
+    cfg = load_config(None, over, preset="mld_humanml3d")
+    if args.pipeline:
+        return pipeline_bench(args, cfg)
     mld = MLD(cfg)
     params = mld.init_params(jax.random.PRNGKey(0))
     state = create_train_state(mld, params, args.stage)
@@ -63,6 +81,95 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "batch_size": args.batch,
+        "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
+    }))
+
+
+def pipeline_bench(args, cfg):
+    """steps/sec through the REAL loop path: synthetic dataset on disk ->
+    (Prefetch)DataLoader -> collate (native C++ when available) ->
+    _device_batch -> jitted train step, logs kept device-side."""
+    import subprocess
+    import jax
+    import jax.numpy as jnp
+
+    if not os.path.exists(os.path.join(args.data_root, "Mean.npy")):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("PYTHONPATH", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        code = ("import sys; sys.path.insert(0, %r); "
+                "from mld_tpu.data.synthetic import build_synthetic_dataset;"
+                " build_synthetic_dataset(%r, n_samples=2048, seed=0)" % (
+                    os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), args.data_root))
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       timeout=900)
+
+    from mld_tpu.config import merge_dicts, load_config
+    from mld_tpu.data.datamodule import get_datamodule
+    from mld_tpu.models.mld import MLD
+    from mld_tpu.train.loop import device_prefetch
+    from mld_tpu.train.steps import (create_train_state, make_train_scan,
+                                     make_train_step)
+
+    cfg = load_config(None, {"dataset": {"root": args.data_root},
+                             "train": {"stage": args.stage,
+                                       "batch_size": args.batch}},
+                      preset="mld_humanml3d")
+    mld = MLD(cfg)
+    dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+    mld.mean = jnp.asarray(dm.mean, jnp.float32)
+    mld.std = jnp.asarray(dm.std, jnp.float32)
+    params = mld.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(mld, params, args.stage)
+    step = make_train_step(mld, args.stage, donate=True)
+    spd = max(1, args.spd)
+    scan = make_train_scan(mld, args.stage, donate=True) if spd > 1 else None
+
+    prefetch = 0 if args.no_prefetch else 3
+    loader = dm.loader("train", drop_last=True, prefetch=prefetch)
+
+    def run_epochs(n_steps):
+        logs = None
+        count = 0
+        rng = jax.random.PRNGKey(1)
+        while count < n_steps:
+            for item in device_prefetch(loader, group=spd):
+                rng, srng = jax.random.split(rng)
+                if spd > 1:
+                    kind, dbatch = item
+                    if kind == "scan":
+                        run_epochs.state, logs = scan(
+                            run_epochs.state, dbatch, srng)
+                        count += spd
+                    else:
+                        run_epochs.state, logs = step(
+                            run_epochs.state, dbatch, srng)
+                        count += 1
+                else:
+                    run_epochs.state, logs = step(run_epochs.state,
+                                                  item, srng)
+                    count += 1
+                if count >= n_steps:
+                    break
+        np.asarray(logs["total"])  # barrier
+        return count
+
+    run_epochs.state = state
+    # compile + warm BOTH programs (the scan and the epoch-tail single)
+    run_epochs(max(2, 3 * spd + 3))
+    start = time.perf_counter()
+    n = run_epochs(args.iters)
+    elapsed = time.perf_counter() - start
+    steps_per_sec = n / elapsed
+    print(json.dumps({
+        "metric": f"{args.stage}_train_pipeline_throughput",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec/chip",
+        "batch_size": args.batch,
+        "prefetch": prefetch,
+        "native_collate": dm.use_native,
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
     }))
 

@@ -45,7 +45,12 @@ class TestData:
         assert batch["motion"].shape == (4, 64, 263)
         assert batch["mask"].shape == (4, 64)
         assert batch["text_ids"].shape == (4, 77)
-        assert batch["word_embs"].shape[0] == 4
+        # evaluator word features ride only the val/test loaders now
+        assert "word_embs" not in batch
+        val_batch = next(iter(dm.loader("val", batch_size=4)))
+        assert "word_embs" in val_batch
+        assert (val_batch["word_embs"].shape[0]
+                == val_batch["motion"].shape[0])
         # normalized features: roughly centered
         valid = batch["motion"][batch["mask"]]
         assert abs(float(valid.mean())) < 2.0
@@ -87,12 +92,20 @@ class TestTraining:
         batch = next(iter(loader))
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("motion", "mask", "text_ids")}
+        # measure progress with the DETERMINISTIC eval loss (train-step
+        # losses are noisy under per-step dropout masks at 8 steps)
+        from mld_tpu.train.steps import make_eval_step
+        eval_step = make_eval_step(mld, "vae")
+        before = float(eval_step(state, jbatch,
+                                 jax.random.PRNGKey(99))["total"])
         losses = []
         for i in range(8):
             state, logs = step(state, jbatch, jax.random.PRNGKey(i))
             losses.append(float(logs["total"]))
         assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0], losses
+        after = float(eval_step(state, jbatch,
+                                jax.random.PRNGKey(99))["total"])
+        assert after < before, (before, after, losses)
 
     def test_diffusion_stage_runs(self, synth_root):
         cfg = tiny_cfg(synth_root, train={"stage": "diffusion"})

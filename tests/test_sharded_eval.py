@@ -18,7 +18,7 @@ from mld_tpu.parallel.mesh import make_mesh
 
 def test_sharded_eval_batch_matches_single(tmp_path):
     root = str(tmp_path / "data")
-    build_synthetic_dataset(root, n_samples=32, seed=3)
+    build_synthetic_dataset(root, n_samples=64, seed=3)
     cfg = load_config(None, {
         "debug": True,
         "model": {"latent_dim": 32, "ff_size": 64, "num_layers": 3,
@@ -37,7 +37,7 @@ def test_sharded_eval_batch_matches_single(tmp_path):
     params = mld.init_params(jax.random.PRNGKey(0))
     ev = Evaluator(cfg, mld, dm)
 
-    batch = next(iter(dm.loader("train", shuffle=False, drop_last=True,
+    batch = next(iter(dm.loader("val", shuffle=False, drop_last=True,
                                 batch_size=8)))
     args = (jnp.asarray(batch["text_ids"]), jnp.asarray(batch["word_embs"]),
             jnp.asarray(batch["pos_ohot"]), jnp.asarray(batch["text_len"]),
@@ -58,7 +58,7 @@ def test_sharded_eval_batch_matches_single(tmp_path):
                                    err_msg=key)
 
     # the full driver also runs with a mesh (host loop unchanged)
-    res = ev.run_split(params, dm.loader("train", shuffle=False,
+    res = ev.run_split(params, dm.loader("val", shuffle=False,
                                          drop_last=True, batch_size=8),
                        rng, mesh=mesh)
     assert np.isfinite(list(res.values())).all()
