@@ -58,7 +58,10 @@ def main():
     from mld_tpu.config import load_config
     from mld_tpu.models.mld import MLD, lengths_to_mask
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    # throughput-optimal batch from the r2 sweep: 64 -> 3951, 128 -> 4206,
+    # 256 -> 3785 motions/s (VMEM pressure in the fused denoiser core at
+    # CFG-doubled 512 rows)
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     preset = os.environ.get("BENCH_PRESET", "mld_humanml3d")

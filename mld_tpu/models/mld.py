@@ -206,12 +206,16 @@ class MLD:
                 and self._use_fused_denoiser()):
             from mld_tpu.ops.fused_denoiser import fused_denoiser_forward
             m = self.cfg.model
+            # bf16 weight streaming when the session runs bf16-pass
+            # matmuls (serving config); full f32 under "high"/"highest"
+            prec = str(jax.config.jax_default_matmul_precision or "")
+            wd = jnp.bfloat16 if prec in ("default", "bfloat16") else None
             return fused_denoiser_forward(
                 params["denoiser"], sample, t, cond_emb,
                 num_heads=m.num_heads, num_layers=m.denoiser_num_layers,
                 latent_dim=m.latent_dim,
                 text_encoded_dim=m.text_encoded_dim,
-                condition=self.condition)
+                condition=self.condition, weight_dtype=wd)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.denoiser.apply({"params": params["denoiser"]}, sample, t,
                                    cond_emb, mask,

@@ -41,7 +41,8 @@ def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
                            flip_sin_to_cos: bool = True,
                            freq_shift: float = 0.0,
                            condition: str = "text",
-                           interpret=None) -> jnp.ndarray:
+                           interpret=None,
+                           weight_dtype=None) -> jnp.ndarray:
     """params: the MldDenoiser flax param tree. sample [B, L, D];
     encoder_hidden_states [B, S_text, text_dim] (text) or [B] ids (action).
     Returns [B, L, D]."""
@@ -87,7 +88,7 @@ def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
     # stack in VMEM scratch (ops/fused_layer.fused_skip_encoder)
     enc = params["encoder"]
     x = fused_skip_encoder(xseq, enc, num_layers, num_heads,
-                           interpret=interpret)
+                           interpret=interpret, weight_dtype=weight_dtype)
     norm = enc["norm"]
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)

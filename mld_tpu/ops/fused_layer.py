@@ -50,8 +50,9 @@ def _round_up(x, m):
 
 
 def _mm(a, w):  # [R, D?] @ [D?, K] fp32 accumulation on the MXU
+    # operands may be bf16 (serving fast path) or f32; accumulate f32
     return jax.lax.dot_general(
-        a, w, (((1,), (0,)), ((), ())),
+        a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -97,6 +98,8 @@ def _layer_body(x, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2,
     seg_expand = seg_sum.T                               # [H, D]
 
     # ---- packed QKV projection, all tokens in one matmul ----
+    # matmul operands follow the weights' dtype (bf16 streaming in the
+    # serving fast path); softmax / layernorm / residuals stay f32
     qkv = _mm(x, wqkv) + bqkv[None, :]
     q = qkv[:, :D] * scale                               # [S*B, D]
     k = qkv[:, D:2 * D]
@@ -133,11 +136,11 @@ def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     f32 = jnp.float32
     out = _layer_body(
         x_ref[...].astype(f32),
-        wqkv_ref[...].astype(f32), bqkv_ref[0].astype(f32),
-        wo_ref[...].astype(f32), bo_ref[0].astype(f32),
+        wqkv_ref[...], bqkv_ref[0].astype(f32),
+        wo_ref[...], bo_ref[0].astype(f32),
         ln1s_ref[0].astype(f32), ln1b_ref[0].astype(f32),
-        w1_ref[...].astype(f32), b1_ref[0].astype(f32),
-        w2_ref[...].astype(f32), b2_ref[0].astype(f32),
+        w1_ref[...], b1_ref[0].astype(f32),
+        w2_ref[...], b2_ref[0].astype(f32),
         ln2s_ref[0].astype(f32), ln2b_ref[0].astype(f32),
         S=S, H=H, scale=scale)
     o_ref[...] = out.astype(o_ref.dtype)
@@ -219,18 +222,17 @@ def _skip_encoder_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     # decomposed into x @ W[:D] + skip @ W[D:] (top/bottom row blocks)
     pop = jnp.clip(2 * n_block - g, 0, n_block - 1)
     skip = stack_ref[pl.dslice(pop, 1)][0]
-    xs = (_mm(x, wsx_ref[0].astype(f32))
-          + _mm(skip.astype(f32), wss_ref[0].astype(f32))
+    xs = (_mm(x, wsx_ref[0]) + _mm(skip, wss_ref[0])
           + bs_ref[0][0].astype(f32)[None, :])
     x = jnp.where(g > n_block, xs, x)
 
     y = _layer_body(
         x,
-        wqkv_ref[0].astype(f32), bqkv_ref[0][0].astype(f32),
-        wo_ref[0].astype(f32), bo_ref[0][0].astype(f32),
+        wqkv_ref[0], bqkv_ref[0][0].astype(f32),
+        wo_ref[0], bo_ref[0][0].astype(f32),
         ln1s_ref[0][0].astype(f32), ln1b_ref[0][0].astype(f32),
-        w1_ref[0].astype(f32), b1_ref[0][0].astype(f32),
-        w2_ref[0].astype(f32), b2_ref[0][0].astype(f32),
+        w1_ref[0], b1_ref[0][0].astype(f32),
+        w2_ref[0], b2_ref[0][0].astype(f32),
         ln2s_ref[0][0].astype(f32), ln2b_ref[0][0].astype(f32),
         S=S, H=H, scale=scale)
 
@@ -264,7 +266,8 @@ def _stack_layer_params(layers):
 
 
 def fused_skip_encoder(x, enc_params, num_layers: int, num_heads: int,
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None,
+                       weight_dtype=None):
     """The full SkipTransformerEncoder stack (sans final norm) as ONE
     pallas_call: grid over layers, weights streamed layer-by-layer with
     pipeline double-buffering, activation + skip stack resident in VMEM.
@@ -286,6 +289,17 @@ def fused_skip_encoder(x, enc_params, num_layers: int, num_heads: int,
     wsx = jnp.stack([p["kernel"][:D] for p in skips])      # [n, D, D]
     wss = jnp.stack([p["kernel"][D:] for p in skips])      # [n, D, D]
     bs = jnp.stack([p["bias"].reshape(1, -1) for p in skips])
+
+    if weight_dtype is not None:
+        # bf16 streaming for the serving fast path: halves the per-layer
+        # weight DMA and runs single-pass MXU multiplies (f32 accumulate,
+        # f32 softmax/LN in-kernel) — the same contract as XLA "default"
+        # matmul precision, which the serving config already budgets for
+        wd = jnp.dtype(weight_dtype)
+        stacked = tuple(
+            a.astype(wd) if i in (0, 2, 6, 8) else a
+            for i, a in enumerate(stacked))
+        wsx, wss = wsx.astype(wd), wss.astype(wd)
 
     xs = jnp.swapaxes(x, 0, 1)                              # [S, B, D]
     S, B, _ = xs.shape

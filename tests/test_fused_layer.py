@@ -50,6 +50,23 @@ def test_skip_encoder_matches_xla(L, B, D, H, F):
                                atol=5e-5, rtol=1e-4)
 
 
+def test_skip_encoder_bf16_weights_close():
+    # serving fast path: bf16 weight streaming, f32 accumulate — same
+    # contract as XLA "default" matmul precision (budgeted at <5% FID)
+    S, B, D, H, F, L = 3, 8, 64, 2, 128, 3
+    stack = SkipTransformerEncoder(d_model=D, num_heads=H, num_layers=L,
+                                   ff_size=F, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, S, D), jnp.float32)
+    params = stack.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    ref = fused_skip_encoder(x, params, L, H, interpret=True)
+    out = fused_skip_encoder(x, params, L, H, interpret=True,
+                             weight_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.15, rtol=0.1)
+    assert not np.allclose(np.asarray(out), np.asarray(ref),
+                           atol=1e-7)  # actually ran reduced precision
+
+
 def test_batch_not_multiple_of_8():
     S, B, D, H, F = 3, 5, 64, 2, 128
     layer = TransformerEncoderLayer(d_model=D, num_heads=H, ff_size=F,
