@@ -86,8 +86,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, sm_scale):
     v = v_ref[0].astype(jnp.float32)           # [Sk, Dh]
     valid = valid_ref[0]                       # [1, Sk] int32 (1 = attend)
 
+    # explicit precision: in-kernel dots otherwise inherit the GLOBAL
+    # jax_default_matmul_precision, and Mosaic rejects HIGH (operands are
+    # already cast f32 above, so HIGHEST is the faithful choice)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32) * sm_scale
     scores = jnp.where(valid > 0, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -96,6 +100,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, sm_scale):
     probs = e / s
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 

@@ -50,10 +50,14 @@ def _round_up(x, m):
 
 
 def _mm(a, w):  # [R, D?] @ [D?, K] fp32 accumulation on the MXU
-    # operands may be bf16 (serving fast path) or f32; accumulate f32
+    # operands may be bf16 (serving fast path) or f32; accumulate f32.
+    # Precision is pinned per-dtype: in-kernel dots otherwise inherit the
+    # GLOBAL jax_default_matmul_precision and Mosaic rejects HIGH.
+    prec = (jax.lax.Precision.DEFAULT if w.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(
         a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        precision=prec, preferred_element_type=jnp.float32)
 
 
 def _erf_gelu(h):

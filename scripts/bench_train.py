@@ -38,6 +38,9 @@ def main():
     p.add_argument("--dropout", type=float, default=None,
                    help="override model dropout (A/B the attention-prob "
                         "dropout cost)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forwards in the loss (A/B "
+                        "activation traffic vs recompute)")
     args = p.parse_args()
 
     import jax
@@ -46,9 +49,12 @@ def main():
     from mld_tpu.models.mld import MLD
     from mld_tpu.train.steps import create_train_state, make_train_step
 
-    over = ({"model": {"dropout": args.dropout}}
-            if args.dropout is not None else None)
-    cfg = load_config(None, over, preset="mld_humanml3d")
+    over = {}
+    if args.dropout is not None:
+        over["model"] = {"dropout": args.dropout}
+    if args.remat:
+        over["train"] = {"remat": True}
+    cfg = load_config(None, over or None, preset="mld_humanml3d")
     if args.pipeline:
         return pipeline_bench(args, cfg)
     mld = MLD(cfg)
