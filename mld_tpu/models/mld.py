@@ -195,10 +195,40 @@ class MLD:
                               method=self.vae.encode, rngs=rngs)
 
     def decode_latent(self, params, z, mask, dropout_rng=None):
+        if dropout_rng is None and self._use_fused_decode():
+            from mld_tpu.ops.fused_seq_decoder import fused_vae_decode
+            m = self.cfg.model
+            prec = str(jax.config.jax_default_matmul_precision or "")
+            wd = jnp.bfloat16 if prec in ("default", "bfloat16") else None
+            return fused_vae_decode(
+                params["vae"], z, mask, num_layers=m.num_layers,
+                num_heads=m.num_heads, nfeats=self.nfeats,
+                weight_dtype=wd)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.vae.apply({"params": params["vae"]}, z, mask,
                               deterministic=dropout_rng is None,
                               method=self.vae.decode, rngs=rngs)
+
+    def _use_fused_decode(self) -> bool:
+        """Serving path: the whole VAE decoder stack as one Pallas program
+        (ops/fused_seq_decoder.py). Auto on single-device TPU; override
+        with MLD_TPU_FUSED_DECODE=0/1."""
+        import os
+
+        from mld_tpu.ops.fused_seq_decoder import can_fuse_decode
+
+        flag = os.environ.get("MLD_TPU_FUSED_DECODE", "auto")
+        if flag == "0" or not self.is_vae:
+            return False
+        if not can_fuse_decode(self.vae, self.latent_size):
+            return False
+        if flag == "1":
+            return True
+        try:
+            return (jax.default_backend() == "tpu"
+                    and jax.device_count() == 1)
+        except Exception:  # pragma: no cover
+            return False
 
     def denoise(self, params, sample, t, cond_emb, mask=None,
                 dropout_rng=None, cond_rng=None, training=False):
