@@ -63,6 +63,7 @@ def main():
     # CFG-doubled 512 rows)
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     preset = os.environ.get("BENCH_PRESET", "mld_humanml3d")
 
@@ -88,20 +89,28 @@ def main():
             out = mld.generate_joints(params, token_ids, mask, rng)
             np.asarray(out[0, 0, 0])
 
-    start = time.perf_counter()
-    for i in range(iters):
-        out = mld.generate_joints(params, token_ids, mask,
-                                  jax.random.PRNGKey(i))
-    np.asarray(out[0, 0, 0])  # in-order execution: syncs all iters
-    elapsed = time.perf_counter() - start
-
-    motions_per_sec = batch_size * iters / elapsed
+    # repeated pipelined measurements: the headline is the MEDIAN repeat,
+    # with the full spread reported so session variance is visible
+    # (round-2 verdict: a single measurement made the headline
+    # irreproducible)
+    rates = []
+    for r in range(repeats):
+        start = time.perf_counter()
+        for i in range(iters):
+            out = mld.generate_joints(params, token_ids, mask,
+                                      jax.random.PRNGKey(r * iters + i))
+        np.asarray(out[0, 0, 0])  # in-order execution: syncs all iters
+        elapsed = time.perf_counter() - start
+        rates.append(batch_size * iters / elapsed)
+    rates.sort()
+    motions_per_sec = rates[len(rates) // 2]
 
     # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip rate
     flops = _program_flops(
         lambda p_, ids, m, r: mld.generate_joints(p_, ids, m, r),
         params, token_ids, mask, rng)
-    mfu = (flops * iters / elapsed / _peak_flops()) if flops else None
+    mfu = (flops * motions_per_sec / batch_size / _peak_flops()
+           if flops else None)
 
     metric = ("t2m_ddim50_sampling_throughput"
               if preset == "mld_humanml3d"
@@ -111,6 +120,16 @@ def main():
         "value": round(motions_per_sec, 3),
         "unit": "motions/sec/chip",
         "vs_baseline": round(motions_per_sec / BASELINE_MOTIONS_PER_SEC, 3),
+        "spread_min": round(rates[0], 1),
+        "spread_max": round(rates[-1], 1),
+        "config": {
+            "batch": batch_size, "iters": iters, "repeats": repeats,
+            "precision": os.environ.get("MLD_TPU_MATMUL_PRECISION"),
+            "fused_denoiser": os.environ.get("MLD_TPU_FUSED_DENOISER",
+                                             "auto"),
+            "fused_decode": os.environ.get("MLD_TPU_FUSED_DECODE", "auto"),
+            "device": jax.devices()[0].device_kind,
+        },
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)

@@ -389,6 +389,78 @@ class TextOnlyDataset:
         return {"text": self.texts[idx], "length": self.lengths[idx]}
 
 
+class MotionDataset:
+    """Motion-only sliding-window dataset (reference MotionDatasetV2,
+    mld/data/humanml/data/dataset.py:631-709): every item is one
+    fixed-length `window_size` snippet of a clip, indexed over the union
+    of all valid window start positions. Used for training motion-prior
+    models with no text pairing.
+
+    Index scheme: clip i contributes `len(motion_i) - window_size`
+    snippets; a flat index is mapped to (clip, start) via searchsorted
+    over the cumulative snippet counts — identical to the reference's
+    cumsum scheme (including its off-by-one-style indexing where item 0
+    is (clip 0, start 0) and item k>0 maps to start idx-1 offsets).
+    """
+
+    def __init__(self, data_root: str, split: str, mean: np.ndarray,
+                 std: np.ndarray, window_size: int = 64,
+                 feat_bias: float = 5.0, apply_feat_bias: bool = False,
+                 njoints: int = 22, tiny: bool = False,
+                 debug: bool = False):
+        self.window_size = int(window_size)
+        mean = np.asarray(mean, np.float32).copy()
+        std = np.asarray(std, np.float32).copy()
+        if apply_feat_bias:
+            # train-time std re-biasing (dataset.py:657-684): root rot/lin
+            # velocity + root height and foot contacts are divided by
+            # feat_bias so their normalized magnitudes carry more weight
+            j = njoints
+            std[0:4] /= feat_bias
+            std[4 + (j - 1) * 9 + j * 3:] /= feat_bias
+            assert 4 + (j - 1) * 9 + j * 3 + 4 == mean.shape[-1]
+        self.mean, self.std = mean, std
+
+        motion_dir = pjoin(data_root, "new_joint_vecs")
+        split_file = pjoin(data_root, f"{split}.txt")
+        with codecs.open(split_file, "r") as f:
+            id_list = [line.strip() for line in f if line.strip()]
+        if tiny:
+            id_list = id_list[:10]
+        elif debug:
+            id_list = id_list[:100]
+
+        self.motions: List[np.ndarray] = []
+        lengths: List[int] = []
+        for name in id_list:
+            mpath = pjoin(motion_dir, name + ".npy")
+            if not os.path.exists(mpath):
+                continue  # some clips absent in KIT (reference tolerates)
+            motion = np.load(mpath)
+            if motion.shape[0] < self.window_size:
+                continue
+            self.motions.append(np.asarray(motion, np.float32))
+            lengths.append(motion.shape[0] - self.window_size)
+        self.cumsum = np.cumsum([0] + lengths)
+        self.nfeats = (self.motions[0].shape[-1] if self.motions else 0)
+
+    def inv_transform(self, data):
+        return data * self.std + self.mean
+
+    def __len__(self):
+        return int(self.cumsum[-1])
+
+    def __getitem__(self, idx: int) -> dict:
+        if idx != 0:
+            clip = int(np.searchsorted(self.cumsum, idx) - 1)
+            start = idx - int(self.cumsum[clip]) - 1
+        else:
+            clip, start = 0, 0
+        motion = self.motions[clip][start: start + self.window_size]
+        motion = (motion - self.mean) / self.std
+        return {"motion": motion, "length": self.window_size}
+
+
 class DataLoader:
     """Minimal shuffling batch iterator over an indexable dataset."""
 
@@ -446,6 +518,9 @@ class PrefetchDataLoader(DataLoader):
             try:
                 for batch in super(PrefetchDataLoader, self).__iter__():
                     q.put(batch)
+            except BaseException as e:  # surface in the consumer — a bare
+                q.put(e)                # finally would end the epoch early
+                return
             finally:
                 q.put(_END)
 
@@ -455,5 +530,7 @@ class PrefetchDataLoader(DataLoader):
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
         t.join()

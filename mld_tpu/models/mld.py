@@ -245,7 +245,8 @@ class MLD:
                 num_heads=m.num_heads, num_layers=m.denoiser_num_layers,
                 latent_dim=m.latent_dim,
                 text_encoded_dim=m.text_encoded_dim,
-                condition=self.condition, weight_dtype=wd)
+                condition=self.condition,
+                guidance_scale=self.guidance_scale, weight_dtype=wd)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.denoiser.apply({"params": params["denoiser"]}, sample, t,
                                    cond_emb, mask,

@@ -41,6 +41,7 @@ def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
                            flip_sin_to_cos: bool = True,
                            freq_shift: float = 0.0,
                            condition: str = "text",
+                           guidance_scale: float = 7.5,
                            interpret=None,
                            weight_dtype=None) -> jnp.ndarray:
     """params: the MldDenoiser flax param tree. sample [B, L, D];
@@ -72,9 +73,13 @@ def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
         table = params["emb_proj_action"]["action_embedding"]
         ids = encoder_hidden_states.reshape(-1).astype(jnp.int32)
         act = table[ids]
-        half = act.shape[0] // 2
-        is_uncond = (jnp.arange(act.shape[0]) < half)[:, None]
-        act = jnp.where(is_uncond, 0.0, act)  # eval CFG masking
+        if guidance_scale > 1.0:
+            # eval CFG masking: first half is the uncond half — only when
+            # the batch IS CFG-doubled (mirrors flax EmbedAction,
+            # models/denoiser.py:61-64); guidance<=1 batches are all real
+            half = act.shape[0] // 2
+            is_uncond = (jnp.arange(act.shape[0]) < half)[:, None]
+            act = jnp.where(is_uncond, 0.0, act)
         emb_latent = jnp.concatenate([time_emb, act[:, None, :]], axis=1)
 
     # 3. tokens + learned PE (denoiser.py:172-174)

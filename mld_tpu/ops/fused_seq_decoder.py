@@ -165,9 +165,11 @@ def _stack_decoder_params(layers):
 
 
 def can_fuse_decode(vae, latent_size: int) -> bool:
-    """Fused decode applies to: encoder_decoder arch, post-norm, learned
-    PE (models/vae.py decode, the flagship configuration)."""
-    return (vae.arch == "encoder_decoder"
+    """Fused decode applies to: MldVae encoder_decoder arch, post-norm,
+    learned PE (models/vae.py decode, the flagship configuration).
+    ActorVae/VPosert have no `arch` attribute — getattr so their presets
+    fall through to the XLA path instead of crashing."""
+    return (getattr(vae, "arch", None) == "encoder_decoder"
             and not vae.normalize_before
             and vae.position_embedding in ("v3", "learned")
             and latent_size <= 8)

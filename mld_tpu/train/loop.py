@@ -201,8 +201,11 @@ def train(cfg: Config, max_steps: Optional[int] = None,
             if max_steps is not None and step_count >= max_steps:
                 break
         epoch_logs = jax.device_get(epoch_logs)
-        mean_logs = {k: float(np.mean([d[k] for d in epoch_logs]))
-                     for k in epoch_logs[0]} if epoch_logs else {}
+        # scan groups log (K,)-shaped entries, tail steps log scalars;
+        # ravel before combining (also weights per-step correctly)
+        mean_logs = ({k: float(np.concatenate(
+                        [np.ravel(d[k]) for d in epoch_logs]).mean())
+                      for k in epoch_logs[0]} if epoch_logs else {})
         logger.log_metrics(mean_logs, epoch, "train")
         if epoch % 10 == 0 or epoch == cfg.train.end_epoch - 1:
             logger.epoch_line(epoch, mean_logs, "train")

@@ -191,9 +191,14 @@ def vae_diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
         gen_in = batch["action"]
     # the reference computes the generation pass under torch.no_grad()
     # (mld.py:554-616 test_diffusion_forward): gen losses are monitoring
-    # terms only and must NOT backprop through the reverse-diffusion scan
+    # terms only and must NOT backprop through the reverse-diffusion scan.
+    # stop_gradient must be applied to the PARAMS, not just the output:
+    # under value_and_grad, params with live tangents entering the fused
+    # Pallas serving kernels (which have no JVP rule) fail at trace time
+    # even if the result is later stop_gradient'ed.
+    sg_params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
     gen_feats = jax.lax.stop_gradient(
-        mld._generate_impl(params, gen_in, mask, rng_g))
+        mld._generate_impl(sg_params, gen_in, mask, rng_g))
     gen_joints = mld.feats2joints(gen_feats)
     joints_ref = mld.feats2joints(feats_ref)
     row_valid = batch.get("row_valid")

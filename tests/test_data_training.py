@@ -124,3 +124,56 @@ class TestTraining:
         assert np.isfinite(losses).all()
         # frozen parts untouched
         assert set(state.frozen) == {"vae", "clip"}
+
+
+class TestMotionDataset:
+    """Motion-only sliding-window dataset (reference MotionDatasetV2,
+    mld/data/humanml/data/dataset.py:631-709)."""
+
+    def test_window_indexing(self, synth_root):
+        from mld_tpu.data.dataset import MotionDataset
+
+        W = 32
+        nfeats = 263
+        ds = MotionDataset(synth_root, "train",
+                           mean=np.zeros(nfeats, np.float32),
+                           std=np.ones(nfeats, np.float32), window_size=W)
+        assert len(ds) > 0
+        # every item is one fixed-length normalized window
+        for idx in (0, 1, len(ds) // 2, len(ds) - 1):
+            item = ds[idx]
+            assert item["motion"].shape == (W, nfeats)
+            assert item["length"] == W
+        # reference index mapping oracle (dataset.py:698-705): item 0 is
+        # (clip 0, start 0); item k>0 -> clip via searchsorted, start idx-1
+        k = min(3, len(ds) - 1)
+        clip = int(np.searchsorted(ds.cumsum, k) - 1) if k else 0
+        start = (k - int(ds.cumsum[clip]) - 1) if k else 0
+        np.testing.assert_allclose(
+            ds[k]["motion"],
+            (ds.motions[clip][start:start + W] - ds.mean) / ds.std)
+
+    def test_feat_bias(self, synth_root):
+        from mld_tpu.data.dataset import MotionDataset
+
+        nfeats, j = 263, 22
+        std = np.ones(nfeats, np.float32)
+        ds = MotionDataset(synth_root, "train", mean=np.zeros(nfeats),
+                           std=std, window_size=16, feat_bias=5.0,
+                           apply_feat_bias=True, njoints=j)
+        # root rot/lin vel + height and foot contacts re-biased by 1/5
+        np.testing.assert_allclose(ds.std[:4], 0.2)
+        np.testing.assert_allclose(ds.std[4 + (j - 1) * 9 + j * 3:], 0.2)
+        np.testing.assert_allclose(ds.std[4:4 + (j - 1) * 9 + j * 3], 1.0)
+        # inv_transform round-trips
+        item = ds[0]["motion"]
+        np.testing.assert_allclose(
+            ds.inv_transform(item), item * ds.std + ds.mean, rtol=1e-6)
+
+    def test_short_clips_skipped(self, synth_root):
+        from mld_tpu.data.dataset import MotionDataset
+
+        big = MotionDataset(synth_root, "train", mean=np.zeros(263),
+                            std=np.ones(263), window_size=190)
+        # clips shorter than the window contribute nothing
+        assert all(m.shape[0] >= 190 for m in big.motions)

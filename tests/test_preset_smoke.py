@@ -1,0 +1,116 @@
+"""Per-preset serving smoke tests.
+
+Round-2 shipped a serving-dispatch regression: the fused VAE decode gate
+read `vae.arch`, which ActorVae/VPosert don't define, crashing every
+action/vposert generate at HEAD. These tests call the generate path for
+EVERY capability preset (reference surface: mld/models/modeltype/mld.py
+forward dispatch per config), with the fused Pallas paths both off and
+force-enabled (interpret mode on CPU), so a dispatch regression in any
+preset can never ship silently again.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mld_tpu.config import load_config
+from mld_tpu.models.mld import MLD, lengths_to_mask
+
+TINY = {
+    "debug": True,
+    "model": {"latent_dim": 32, "ff_size": 64, "num_layers": 3,
+              "denoiser_num_layers": 3, "num_heads": 4,
+              "text_encoded_dim": 32, "clip_layers": 2, "clip_heads": 2,
+              "scheduler": {"num_inference_timesteps": 2}},
+    "dataset": {"max_motion_len": 24, "min_motion_len": 8},
+}
+
+# preset -> extra overrides (keep every graph tiny + 2 sampler steps)
+PRESETS = {
+    "mld_humanml3d": {},
+    "vae_humanml3d": {},
+    "mld_kit": {},
+    "novae_humanml3d": {
+        "model": {"scheduler": {"kind": "ddpm",
+                                "num_inference_timesteps": 2}}},
+    "mld_humanact12": {},
+    "mld_uestc": {},
+}
+
+
+def _tiny_cfg(preset, tmp_path, extra=None):
+    import copy
+
+    from mld_tpu.config.core import merge_dicts
+    over = copy.deepcopy(TINY)
+    over["dataset"]["root"] = str(tmp_path)
+    if extra:
+        over = merge_dicts(over, copy.deepcopy(extra))
+    over = merge_dicts(over, copy.deepcopy(PRESETS.get(preset, {})))
+    return load_config(None, over, preset=preset)
+
+
+def _generate(mld, params, rng):
+    T = mld.max_frames
+    mask = lengths_to_mask(jnp.asarray([T, T // 2]), T)
+    if mld.condition == "action":
+        cond_in = jnp.asarray([0, 1], jnp.int32)
+    else:
+        cond_in = jnp.asarray(mld.tokenizer(["walk", "jump high"]))
+    return mld.generate_feats(params, cond_in, mask, rng), mask
+
+
+@pytest.mark.parametrize("preset", sorted(PRESETS))
+@pytest.mark.parametrize("fused", ["0", "1"])
+def test_preset_generate(preset, fused, tmp_path, monkeypatch):
+    monkeypatch.setenv("MLD_TPU_FUSED_DECODE", fused)
+    monkeypatch.setenv("MLD_TPU_FUSED_DENOISER", fused)
+    cfg = _tiny_cfg(preset, tmp_path)
+    mld = MLD(cfg)
+    params = mld.init_params(jax.random.PRNGKey(0))
+    feats, mask = _generate(mld, params, jax.random.PRNGKey(1))
+    assert feats.shape == (2, mld.max_frames, mld.nfeats)
+    f = np.asarray(feats)
+    assert np.isfinite(f).all()
+    # padded frames must be zero (mld_vae.py:245 output-zeroing invariant)
+    assert np.abs(f[1, mld.max_frames // 2:]).max() == 0.0
+
+
+def test_vposert_generate(tmp_path, monkeypatch):
+    # vposert is a vae_type variant, not a preset — same dispatch surface
+    for fused in ("0", "1"):
+        monkeypatch.setenv("MLD_TPU_FUSED_DECODE", fused)
+        monkeypatch.setenv("MLD_TPU_FUSED_DENOISER", fused)
+        cfg = _tiny_cfg("mld_humanml3d", tmp_path,
+                        extra={"model": {"vae_type": "vposert"}})
+        mld = MLD(cfg)
+        params = mld.init_params(jax.random.PRNGKey(0))
+        feats, _ = _generate(mld, params, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_vae_diffusion_step_with_fused_serving(tmp_path, monkeypatch):
+    """ADVICE r2 (high): the joint-finetune stage traces _generate_impl
+    inside value_and_grad; params entering the fused Pallas kernels (no
+    JVP rule) must carry zero tangents. Force the fused path and take a
+    real gradient step — crashes at trace time if the stop_gradient is
+    applied to the output only."""
+    monkeypatch.setenv("MLD_TPU_FUSED_DECODE", "1")
+    monkeypatch.setenv("MLD_TPU_FUSED_DENOISER", "1")
+    from mld_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = _tiny_cfg("mld_humanml3d", tmp_path)
+    mld = MLD(cfg)
+    params = mld.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(mld, params, "vae_diffusion")
+    step = make_train_step(mld, "vae_diffusion", donate=False)
+    B, T = 2, mld.max_frames
+    batch = {
+        "motion": jnp.asarray(
+            np.random.RandomState(0).randn(B, T, mld.nfeats), jnp.float32),
+        "mask": lengths_to_mask(jnp.asarray([T, T // 2]), T),
+        "text_ids": jnp.asarray(mld.tokenizer(["walk", "run"])),
+    }
+    state, logs = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(logs["total"]))
+    assert np.isfinite(float(logs["gen_feature"]))
