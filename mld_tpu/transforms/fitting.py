@@ -104,7 +104,12 @@ class BatchedSMPLFitter:
             "rot6d": _identity_rot6d(T),
             "trans": target_joints[:, 0],  # init at root track
         }
-        tx = optax.adam(self.lr)
+        # cosine-decayed Adam: the flat-lr run plateaus an order of
+        # magnitude above the per-frame LBFGS arm of the fit-quality
+        # study; decaying to lr/25 closes the final-convergence gap
+        # (scripts/fit_quality_study.py table)
+        tx = optax.adam(optax.cosine_decay_schedule(
+            self.lr, self.num_steps, alpha=0.04))
         opt_state = tx.init(params)
 
         def step(carry, _):
