@@ -127,8 +127,10 @@ class TrainConfig:
     # rematerialize model forwards in the loss (trade FLOPs for memory)
     remat: bool = False
     # optimizer steps fused into one lax.scan program per dispatch
-    # (amortizes launch latency; >1 is single-device only)
-    steps_per_dispatch: int = 1
+    # (amortizes launch latency; >1 is single-device only). 0 = auto:
+    # 8 on single-device TPU (the tunnel's ~100ms dispatch + serialized
+    # H2D otherwise dominates the loop), 1 elsewhere
+    steps_per_dispatch: int = 0
 
 
 @dataclass

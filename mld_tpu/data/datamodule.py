@@ -29,7 +29,14 @@ class HumanML3DDataModule:
         self.root = ds.root
         self.njoints = ds.njoints
 
-        if not os.path.exists(pjoin(self.root, "Mean.npy")):
+        from .synthetic import SYNTH_VERSION
+        stamp = pjoin(self.root, ".synth_version")
+        # a stamped tree is an auto-built synthetic corpus; rebuild it when
+        # the generator semantics changed (real datasets never carry the
+        # stamp and are never touched)
+        stale = (os.path.exists(stamp)
+                 and open(stamp).read().strip() != str(SYNTH_VERSION))
+        if not os.path.exists(pjoin(self.root, "Mean.npy")) or stale:
             if synthesize_if_missing:
                 from .synthetic import build_synthetic_dataset
                 n = 64 if cfg.debug else 256
@@ -66,20 +73,35 @@ class HumanML3DDataModule:
         self._mm_backup = None
         self.nfeats = ds.nfeats
 
-    def _make(self, split: str, tiny=False):
+    def _make(self, split: str, tiny=False, eval_embeddings=None):
         ds = self.cfg.dataset
         from .dataset import Text2MotionDatasetLazy
         cls = Text2MotionDatasetLazy if self.use_native \
             else Text2MotionDataset
+        if eval_embeddings is None:
+            # GloVe/POS features feed the t2m evaluators only; the train
+            # split skips them (dominant host cost of the training loop)
+            eval_embeddings = split != "train"
         return cls(
             self.root, split, self.mean, self.std, self.w_vectorizer,
             max_motion_length=ds.max_motion_len,
             min_motion_length=ds.min_motion_len,
             max_text_len=ds.max_text_len, unit_length=ds.unit_len,
             fps=ds.frame_rate, tiny=tiny, debug=self.cfg.debug,
-            # GloVe/POS features feed the t2m evaluators only; the train
-            # split skips them (dominant host cost of the training loop)
-            with_eval_embeddings=split != "train")
+            with_eval_embeddings=eval_embeddings)
+
+    def eval_embedding_loader(self, split: str = "train",
+                              batch_size: Optional[int] = None,
+                              seed: int = 0, shuffle: bool = True,
+                              drop_last: bool = True) -> "DataLoader":
+        """Loader whose items carry GloVe/POS eval embeddings regardless
+        of split — used by contrastive t2m-evaluator training
+        (eval/t2m_train.py)."""
+        if batch_size is None:
+            batch_size = self.cfg.train.batch_size
+        return DataLoader(self._make(split, eval_embeddings=True),
+                          batch_size, self.collate, shuffle=shuffle,
+                          seed=seed, drop_last=drop_last)
 
     def dataset(self, split: str):
         if split not in self._datasets:

@@ -205,30 +205,63 @@ class MLD:
                 num_heads=m.num_heads, nfeats=self.nfeats,
                 weight_dtype=wd)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
-        return self.vae.apply({"params": params["vae"]}, z, mask,
-                              deterministic=dropout_rng is None,
-                              method=self.vae.decode, rngs=rngs)
+
+        def xla_decode(z_, m_):
+            return self.vae.apply({"params": params["vae"]}, z_, m_,
+                                  deterministic=dropout_rng is None,
+                                  method=self.vae.decode, rngs=rngs)
+
+        chunk = self._decode_chunk(z.shape[0]) if dropout_rng is None else 0
+        if chunk:
+            # serve large batches as lax.map over batch chunks inside the
+            # same program: XLA's attention tiling at S=197 degrades
+            # superlinearly past B~64 (working set falls out of VMEM);
+            # chunking recovers small-batch efficiency bit-exactly
+            # (docs/bench_decode_chunked_r3.json: B=128 1.28x, measured
+            # up to 3.3x in degraded sessions). Serialization of chunks is
+            # fine - each chunk saturates the chip on its own.
+            n = z.shape[0] // chunk
+            zc = z.reshape(n, chunk, *z.shape[1:])
+            mc = mask.reshape(n, chunk, *mask.shape[1:])
+            out = jax.lax.map(lambda a: xla_decode(a[0], a[1]), (zc, mc))
+            return out.reshape(z.shape[0], *out.shape[2:])
+        return xla_decode(z, mask)
+
+    def _decode_chunk(self, batch: int) -> int:
+        """Chunk size for serving-time VAE decode (0 = no chunking).
+        Auto: 16 on single-device TPU when B>=128 divides evenly (sweep:
+        no win below that, B=64 unchunked is already ~99us/motion).
+        Override with MLD_TPU_DECODE_CHUNK=<int|0|auto>."""
+        import os
+
+        flag = os.environ.get("MLD_TPU_DECODE_CHUNK", "auto")
+        if flag != "auto":
+            c = int(flag)
+            return c if c > 0 and batch % c == 0 and batch > c else 0
+        try:
+            on_tpu = (jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu and batch >= 128 and batch % 16 == 0:
+            return 16
+        return 0
 
     def _use_fused_decode(self) -> bool:
-        """Serving path: the whole VAE decoder stack as one Pallas program
-        (ops/fused_seq_decoder.py). Auto on single-device TPU; override
-        with MLD_TPU_FUSED_DECODE=0/1."""
+        """Opt-in (MLD_TPU_FUSED_DECODE=1): whole VAE decoder stack as one
+        Pallas program (ops/fused_seq_decoder.py). Demoted from the auto
+        default after the r3 on-chip sweep (docs/bench_decode_r3_part2.json):
+        it loses to XLA decode at B=64/128 (0.73-0.76x) and its best point
+        (1.36x at B=256, tile_b=16) is still slower than chunked XLA decode
+        (_decode_chunk above), which is also bit-exact."""
         import os
 
         from mld_tpu.ops.fused_seq_decoder import can_fuse_decode
 
         flag = os.environ.get("MLD_TPU_FUSED_DECODE", "auto")
-        if flag == "0" or not self.is_vae:
+        if flag != "1" or not self.is_vae:
             return False
-        if not can_fuse_decode(self.vae, self.latent_size):
-            return False
-        if flag == "1":
-            return True
-        try:
-            return (jax.default_backend() == "tpu"
-                    and jax.device_count() == 1)
-        except Exception:  # pragma: no cover
-            return False
+        return can_fuse_decode(self.vae, self.latent_size)
 
     def denoise(self, params, sample, t, cond_emb, mask=None,
                 dropout_rng=None, cond_rng=None, training=False):

@@ -163,7 +163,10 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     eval_step = make_eval_step(mld, stage)
     # multi-step scan program: K optimizer steps per dispatch/transfer
     # (single-device; the mesh path keeps per-step pjit programs)
-    spd = max(1, cfg.train.steps_per_dispatch) if mesh is None else 1
+    spd_cfg = cfg.train.steps_per_dispatch
+    if spd_cfg == 0:  # auto: amortize the tunnel's dispatch+H2D latency
+        spd_cfg = 8 if jax.default_backend() == "tpu" else 1
+    spd = max(1, spd_cfg) if mesh is None else 1
     train_scan = (make_train_scan(mld, stage, donate=True)
                   if spd > 1 else None)
 

@@ -114,3 +114,29 @@ def test_vae_diffusion_step_with_fused_serving(tmp_path, monkeypatch):
     state, logs = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(logs["total"]))
     assert np.isfinite(float(logs["gen_feature"]))
+
+
+def test_chunked_decode_bitexact(tmp_path, monkeypatch):
+    """Serving-time chunked VAE decode (models/mld.py _decode_chunk) must
+    be bit-exact vs the one-call decode: it is pure batch slicing of the
+    same program, and the r3 TPU sweep relies on that equivalence
+    (docs/bench_decode_chunked_r3.json err 0.0)."""
+    monkeypatch.setenv("MLD_TPU_FUSED_DECODE", "0")
+    cfg = _tiny_cfg("mld_humanml3d", tmp_path)
+    mld = MLD(cfg)
+    params = mld.init_params(jax.random.PRNGKey(0))
+    B, T = 8, mld.max_frames
+    z = jax.random.normal(jax.random.PRNGKey(1),
+                          (B, mld.latent_size, mld.latent_dim))
+    mask = lengths_to_mask(
+        jnp.asarray(np.random.RandomState(0).randint(8, T + 1, B)), T)
+
+    monkeypatch.setenv("MLD_TPU_DECODE_CHUNK", "0")
+    ref = np.asarray(jax.jit(mld.decode_latent)(params, z, mask))
+    monkeypatch.setenv("MLD_TPU_DECODE_CHUNK", "4")
+    out = np.asarray(jax.jit(mld.decode_latent)(params, z, mask))
+    assert np.array_equal(out, ref)
+    # non-dividing chunk falls back to the one-call path
+    monkeypatch.setenv("MLD_TPU_DECODE_CHUNK", "3")
+    out = np.asarray(jax.jit(mld.decode_latent)(params, z, mask))
+    assert np.array_equal(out, ref)

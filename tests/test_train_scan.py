@@ -64,9 +64,12 @@ def test_scan_matches_single_steps(tiny):
     pa = jax.tree_util.tree_leaves(state_a.params)
     pb = jax.tree_util.tree_leaves(state_b.params)
     for a, b in zip(pa, pb):
-        # scan vs unrolled changes XLA fusion boundaries: float-noise only
+        # scan vs unrolled changes XLA fusion boundaries: float-noise
+        # only — but Adam amplifies it up to ~lr scale on leaves whose
+        # gradient is near zero (m/sqrt(v) of noise is O(1)), so the
+        # bound is absolute at a fraction of lr, not relative
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=1e-4)
+                                   atol=3e-4, rtol=1e-4)
     np.testing.assert_allclose(float(logs["total"][-1]),
                                float(logs_b["total"]), rtol=1e-5)
 
