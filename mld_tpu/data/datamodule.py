@@ -103,6 +103,24 @@ class HumanML3DDataModule:
                           batch_size, self.collate, shuffle=shuffle,
                           seed=seed, drop_last=drop_last)
 
+    def device_dataset(self, split: str = "train", max_captions: int = 8):
+        """Whole-split corpus resident in device memory with on-device
+        batch sampling (data/device_dataset.py) — the TPU-native
+        replacement for the streaming loader on single-device training."""
+        from .dataset import Text2MotionDataset
+        from .device_dataset import DeviceDataset
+        ds = self.cfg.dataset
+        host = Text2MotionDataset(
+            self.root, split, self.mean, self.std, None,
+            max_motion_length=ds.max_motion_len,
+            min_motion_length=ds.min_motion_len,
+            max_text_len=ds.max_text_len, unit_length=ds.unit_len,
+            fps=ds.frame_rate, debug=self.cfg.debug,
+            with_eval_embeddings=False)
+        return DeviceDataset(host, self.collate.tokenizer,
+                             max_len=ds.max_motion_len, unit=ds.unit_len,
+                             max_captions=max_captions)
+
     def dataset(self, split: str):
         if split not in self._datasets:
             self._datasets[split] = self._make(split)

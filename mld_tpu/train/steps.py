@@ -265,6 +265,43 @@ def make_train_scan(mld: MLD, stage: str, donate: bool = True):
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
+def make_device_train_scan(mld: MLD, stage: str, batch_size: int,
+                           donate: bool = True):
+    """K optimizer steps per dispatch with ON-DEVICE batch sampling from a
+    device-resident corpus (data/device_dataset.py): (state, arrays, rng,
+    K static) -> (state, logs[K]).
+
+    The steady-state training loop transfers nothing per dispatch but one
+    PRNG key — the host input pipeline (and its serialized tunnel uploads,
+    the measured bottleneck) vanishes from the loop entirely.
+    """
+    from mld_tpu.data.device_dataset import sample_batch
+
+    loss_fn = _STAGE_LOSSES[stage]
+    unit = mld.cfg.dataset.unit_len
+    max_len = mld.cfg.dataset.max_motion_len
+
+    def multi(state: TrainState, arrays, rng, k: int):
+        rngs = jax.random.split(rng, k)
+
+        def body(st, srng):
+            k_batch, k_step = jax.random.split(srng)
+            batch = sample_batch(arrays, k_batch, batch_size, unit,
+                                 max_len)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(mld, p, st.frozen, batch, k_step),
+                has_aux=True)
+            (_, logs), grads = grad_fn(st.params)
+            logs = dict(logs)
+            logs["grad_norm"] = optax.global_norm(grads)
+            return st.apply_gradients(grads), logs
+
+        return jax.lax.scan(body, state, rngs)
+
+    return jax.jit(multi, static_argnums=(3,),
+                   donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(mld: MLD, stage: str):
     loss_fn = _STAGE_LOSSES[stage]
 

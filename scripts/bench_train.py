@@ -34,6 +34,10 @@ def main():
     p.add_argument("--spd", type=int, default=1,
                    help="with --pipeline: optimizer steps fused per "
                         "dispatch (train.steps_per_dispatch)")
+    p.add_argument("--device-data", action="store_true",
+                   help="with --pipeline: corpus resident in HBM with "
+                        "on-device sampling fused into the scan "
+                        "(data/device_dataset.py) — no per-step H2D")
     p.add_argument("--data-root", default="/tmp/mld_bench_data2k")
     p.add_argument("--dropout", type=float, default=None,
                    help="override model dropout (A/B the attention-prob "
@@ -129,8 +133,35 @@ def pipeline_bench(args, cfg):
     mld.std = jnp.asarray(dm.std, jnp.float32)
     params = mld.init_params(jax.random.PRNGKey(0))
     state = create_train_state(mld, params, args.stage)
-    step = make_train_step(mld, args.stage, donate=True)
     spd = max(1, args.spd)
+
+    if args.device_data:
+        from mld_tpu.train.steps import make_device_train_scan
+        dds = dm.device_dataset("train")
+        dscan = make_device_train_scan(mld, args.stage, args.batch,
+                                       donate=True)
+        rng = jax.random.PRNGKey(1)
+        state, logs = dscan(state, dds.arrays, rng, spd)  # compile
+        np.asarray(logs["total"])
+        start = time.perf_counter()
+        n = 0
+        while n < args.iters:
+            rng, srng = jax.random.split(rng)
+            state, logs = dscan(state, dds.arrays, srng, spd)
+            n += spd
+        np.asarray(logs["total"])
+        elapsed = time.perf_counter() - start
+        print(json.dumps({
+            "metric": f"{args.stage}_train_devicedata_throughput",
+            "value": round(n / elapsed, 3),
+            "unit": "steps/sec/chip",
+            "batch_size": args.batch, "spd": spd,
+            "corpus_mb": round(dds.nbytes / 2**20, 1),
+            "vs_baseline": round(n / elapsed / REF_STEPS_PER_SEC, 3),
+        }))
+        return
+
+    step = make_train_step(mld, args.stage, donate=True)
     scan = make_train_scan(mld, args.stage, donate=True) if spd > 1 else None
 
     prefetch = 0 if args.no_prefetch else 3
