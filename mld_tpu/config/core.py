@@ -143,6 +143,10 @@ class EvalConfig:
     mm_num_times: int = 10
     diversity_times: int = 300
     r_size: int = 32  # R-precision ranking group size
+    # npz with trained t2m evaluator params ({text,move,motion} trees);
+    # overrides finest.tar lookup. Produced by eval/t2m_train.py for
+    # synthetic corpora (random-init evaluators pin R-precision at chance)
+    t2m_params_path: str = ""
     metrics: List[str] = field(
         default_factory=lambda: ["TemosMetric", "TM2TMetrics"])
 

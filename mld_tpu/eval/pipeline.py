@@ -44,8 +44,12 @@ class T2MEvaluatorBundle:
         self.motionencoder = MotionEncoderBiGRUCo(512, 1024, 512)
         if params is None:
             import os
+            npz = getattr(cfg.eval, "t2m_params_path", "")
             tar = f"{cfg.model.t2m_path}/t2m/text_mot_match/model/finest.tar"
-            if os.path.exists(tar):
+            if npz and os.path.exists(npz):
+                from mld_tpu.utils.checkpoint import load_params_npz
+                params = load_params_npz(npz)
+            elif os.path.exists(tar):
                 from mld_tpu.models.t2m_eval import convert_t2m_checkpoint
                 conv = convert_t2m_checkpoint(tar)
                 params = {"text": conv["textencoder"],

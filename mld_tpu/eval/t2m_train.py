@@ -51,7 +51,15 @@ def train_t2m_evaluator(cfg: Config, dm, steps: int = 600,
     mean_e = jnp.asarray(dm.mean_eval, jnp.float32)
     std_e = jnp.asarray(dm.std_eval, jnp.float32)
 
-    tx = optax.adam(lr)
+    # the BiGRU towers need lr ~2e-3 to escape the near-constant-output
+    # init regime, but diverge to NaN without clipping at that rate
+    # (gradients explode through the 196-step GRU scan); warmup + global
+    # norm clip + cosine decay keeps the whole run finite
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=lr * 0.05, peak_value=lr,
+        warmup_steps=max(20, steps // 10), decay_steps=steps,
+        end_value=lr * 0.1)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
 
     def loss_fn(p, batch, style):

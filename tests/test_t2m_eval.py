@@ -115,3 +115,28 @@ class TestEvaluators:
         emb_j = ours_motion.apply({"params": motion_params},
                                   jnp.asarray(mov_j), jnp.asarray([4, 3]))
         np.testing.assert_allclose(np.asarray(emb_j), emb_t, atol=5e-4)
+
+
+def test_bundle_loads_trained_params_npz(tmp_path):
+    """cfg.eval.t2m_params_path overrides finest.tar/random init: the
+    synthetic e2e protocol trains the bundle in-repo (eval/t2m_train.py)
+    and every downstream Evaluator (incl. train-loop validation) must
+    pick the trained params up from the npz."""
+    import jax
+    from mld_tpu.config import load_config
+    from mld_tpu.eval.pipeline import T2MEvaluatorBundle
+    from mld_tpu.utils.checkpoint import load_params_npz, save_params_npz
+
+    cfg = load_config(None, {"debug": True,
+                             "dataset": {"root": str(tmp_path)}},
+                      preset="mld_humanml3d")
+    rnd = T2MEvaluatorBundle(cfg, seed=3)
+    path = str(tmp_path / "t2m.npz")
+    save_params_npz(path, jax.device_get(rnd.params))
+    cfg.eval.t2m_params_path = path
+    loaded = T2MEvaluatorBundle(cfg)
+    a = jax.tree_util.tree_leaves(rnd.params)
+    b = jax.tree_util.tree_leaves(loaded.params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
