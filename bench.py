@@ -58,9 +58,10 @@ def main():
     from mld_tpu.config import load_config
     from mld_tpu.models.mld import MLD, lengths_to_mask
 
-    # throughput-optimal batch from the r2 sweep: 64 -> 3951, 128 -> 4206,
-    # 256 -> 3785 motions/s (VMEM pressure in the fused denoiser core at
-    # CFG-doubled 512 rows)
+    # throughput-optimal batch: the r2 sweep peaked at B=128 (VMEM
+    # pressure in the fused denoiser core at CFG-doubled 512 rows); r3
+    # re-measured 3778 motions/s at B=128 with chunked decode
+    # (docs/bench_decode_chunked_r3.json)
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
@@ -105,10 +106,14 @@ def main():
     rates.sort()
     motions_per_sec = rates[len(rates) // 2]
 
-    # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip rate
+    # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip
+    # rate. Count on the UNCHUNKED decode program: cost analysis sees a
+    # lax.map body once, not xN, so the chunked program under-reports.
+    os.environ["MLD_TPU_DECODE_CHUNK"] = "0"
     flops = _program_flops(
         lambda p_, ids, m, r: mld.generate_joints(p_, ids, m, r),
         params, token_ids, mask, rng)
+    del os.environ["MLD_TPU_DECODE_CHUNK"]
     mfu = (flops * motions_per_sec / batch_size / _peak_flops()
            if flops else None)
 

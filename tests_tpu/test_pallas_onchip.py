@@ -42,7 +42,10 @@ def test_fused_encoder_layer_onchip(precision):
             {"params": params}, x_, deterministic=True))(x))
         out = np.asarray(jax.jit(lambda x_: fused_encoder_layer(
             x_, params, num_heads=H, interpret=False))(x))
-    assert _rel(np.abs(out - ref).max(), ref) < 5e-4
+    # under "default" the XLA reference itself runs bf16-pass matmuls
+    # while the Pallas kernel accumulates f32 -> bf16-grade agreement
+    assert _rel(np.abs(out - ref).max(), ref) < (
+        5e-4 if precision != "default" else 1e-2)
 
 
 @pytest.mark.parametrize("precision", PRECISIONS)
@@ -63,13 +66,19 @@ def test_fused_skip_encoder_onchip(precision):
         ref = np.asarray(jax.jit(lambda x_: stack.apply(
             {"params": params}, x_, deterministic=True))(x))
         out = np.asarray(jax.jit(fused)(x))
-    assert _rel(np.abs(out - ref).max(), ref) < 5e-4
+    # "default": bf16-pass XLA reference vs f32-accumulating kernel
+    assert _rel(np.abs(out - ref).max(), ref) < (
+        5e-4 if precision != "default" else 1e-2)
 
 
-@pytest.mark.parametrize("weight_dtype,tol", [(None, 5e-4), ("bfloat16", 2e-2)])
-def test_fused_denoiser_onchip(weight_dtype, tol):
+@pytest.mark.parametrize("weight_dtype,precision,tol",
+                         [(None, "highest", 5e-4),
+                          ("bfloat16", "default", 2e-2)])
+def test_fused_denoiser_onchip(weight_dtype, precision, tol):
     """Full serving denoiser forward (timestep MLP + cond proj + 9-layer
-    fused stack) at the CFG-doubled flagship batch."""
+    fused stack) at the CFG-doubled flagship batch. The f32 arm pins
+    "highest" so the XLA reference is itself f32 (the ambient serving
+    default is bf16-pass and cannot agree to 5e-4)."""
     den = MldDenoiser(nfeats=263, condition="text", latent_size=1,
                       latent_dim=D, ff_size=F, num_layers=L, num_heads=H,
                       dropout=0.1, arch="trans_enc", skip_connect=True,
@@ -79,20 +88,24 @@ def test_fused_denoiser_onchip(weight_dtype, tol):
     cond = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 768))
     params = den.init({"params": jax.random.PRNGKey(0)}, sample,
                       jnp.asarray(0), cond)["params"]
-    ref = np.asarray(jax.jit(lambda s, c: den.apply(
-        {"params": params}, s, jnp.asarray(981), c))(sample, cond))
     wd = jnp.bfloat16 if weight_dtype else None
-    out = np.asarray(jax.jit(lambda s, c: fused_denoiser_forward(
-        params, s, jnp.asarray(981), c, num_heads=H, num_layers=L,
-        latent_dim=D, text_encoded_dim=768, interpret=False,
-        weight_dtype=wd))(sample, cond))
+    with jax.default_matmul_precision(precision):
+        ref = np.asarray(jax.jit(lambda s, c: den.apply(
+            {"params": params}, s, jnp.asarray(981), c))(sample, cond))
+        out = np.asarray(jax.jit(lambda s, c: fused_denoiser_forward(
+            params, s, jnp.asarray(981), c, num_heads=H, num_layers=L,
+            latent_dim=D, text_encoded_dim=768, interpret=False,
+            weight_dtype=wd))(sample, cond))
     assert _rel(np.abs(out - ref).max(), ref) < tol
 
 
-@pytest.mark.parametrize("weight_dtype,tol", [(None, 5e-4), ("bfloat16", 2e-2)])
-def test_fused_vae_decode_onchip(weight_dtype, tol):
+@pytest.mark.parametrize("weight_dtype,precision,tol",
+                         [(None, "highest", 5e-4),
+                          ("bfloat16", "default", 2e-2)])
+def test_fused_vae_decode_onchip(weight_dtype, precision, tol):
     """Whole fused decoder stack at flagship T=196/D=256/9L vs flax decode
-    (the kernel that shipped unbenchmarked in round 2)."""
+    (the kernel that shipped unbenchmarked in round 2). f32 arm pins
+    "highest" — see test_fused_denoiser_onchip."""
     vae = MldVae(nfeats=263, latent_size=1, latent_dim=D, ff_size=F,
                  num_layers=L, num_heads=H, dropout=0.0)
     B, T = 32, 196
@@ -102,13 +115,14 @@ def test_fused_vae_decode_onchip(weight_dtype, tol):
     params = vae.init({"params": jax.random.PRNGKey(1)}, feats,
                       mask)["params"]
     z = jax.random.normal(jax.random.PRNGKey(2), (B, 1, D))
-    ref = np.asarray(jax.jit(lambda z_: vae.apply(
-        {"params": params}, z_, mask, deterministic=True,
-        method=vae.decode))(z))
     wd = jnp.bfloat16 if weight_dtype else None
-    out = np.asarray(jax.jit(lambda z_: fused_vae_decode(
-        params, z_, mask, num_layers=L, num_heads=H, nfeats=263,
-        interpret=False, weight_dtype=wd))(z))
+    with jax.default_matmul_precision(precision):
+        ref = np.asarray(jax.jit(lambda z_: vae.apply(
+            {"params": params}, z_, mask, deterministic=True,
+            method=vae.decode))(z))
+        out = np.asarray(jax.jit(lambda z_: fused_vae_decode(
+            params, z_, mask, num_layers=L, num_heads=H, nfeats=263,
+            interpret=False, weight_dtype=wd))(z))
     assert _rel(np.abs(out - ref).max(), ref) < tol
     # padded-frame zeroing invariant (mld_vae.py:245)
     assert np.abs(out * ~np.asarray(mask)[..., None]).max() == 0.0
@@ -122,9 +136,13 @@ def test_flash_attention_onchip(S_attn, dtype):
                                  dtype) for i in range(3))
     valid = jnp.arange(S_attn)[None] < jnp.asarray(
         np.random.RandomState(0).randint(8, S_attn + 1, B))[:, None]
-    ref = np.asarray(jax.jit(lambda *a: sdpa_xla(*a))(q, k, v, valid),
-                     np.float32)
-    out = np.asarray(jax.jit(lambda *a: sdpa_pallas(*a, interpret=False))(
-        q, k, v, valid), np.float32)
+    # f32 arm pins "highest": under the ambient serving default the XLA
+    # reference's QK/PV matmuls are bf16-pass and can't agree to 5e-4
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    with jax.default_matmul_precision(prec):
+        ref = np.asarray(jax.jit(lambda *a: sdpa_xla(*a))(q, k, v, valid),
+                         np.float32)
+        out = np.asarray(jax.jit(lambda *a: sdpa_pallas(
+            *a, interpret=False))(q, k, v, valid), np.float32)
     tol = 2e-2 if dtype == jnp.bfloat16 else 5e-4
     assert _rel(np.abs(out - ref).max(), ref) < tol
