@@ -9,6 +9,7 @@ evaluator checkpoints).
 from __future__ import annotations
 
 import os
+import zlib
 import pickle
 from typing import Tuple
 
@@ -64,9 +65,17 @@ class WordVectorizer:
         return self.word2vec is not None
 
     def _fallback_vec(self, word: str) -> np.ndarray:
-        seed = abs(hash(word)) % (2 ** 31)
+        # stable across processes: python's str hash is randomized per
+        # interpreter (PYTHONHASHSEED), which would give a persisted
+        # evaluator bundle different word vectors on reload
+        seed = zlib.crc32(word.encode("utf-8")) % (2 ** 31)
+        # scale 0.3 -> vector norms ~5, matching real GloVe-300d norms:
+        # at 0.1 the per-word signal entering the text BiGRU was ~100x
+        # smaller than its h0-driven common mode and the from-scratch
+        # evaluator plateaued at predict-the-mean (measured: wscale ~3x
+        # is the difference between mse 0.149-stuck and mse 1e-4)
         return np.random.RandomState(seed).randn(self.dim).astype(
-            np.float32) * 0.1
+            np.float32) * 0.3
 
     def _get_pos_ohot(self, pos: str) -> np.ndarray:
         ohot = np.zeros(len(POS_ENUMERATOR), np.float32)

@@ -31,7 +31,7 @@ from mld_tpu.eval.pipeline import T2MEvaluatorBundle
 
 
 def train_t2m_evaluator(cfg: Config, dm, steps: int = 600,
-                        lr: float = 2e-3, temperature: float = 0.1,
+                        lr: float = 5e-4, temperature: float = 0.1,
                         seed: int = 0,
                         batch_size: Optional[int] = None,
                         style_weight: float = 1.0,
@@ -51,10 +51,11 @@ def train_t2m_evaluator(cfg: Config, dm, steps: int = 600,
     mean_e = jnp.asarray(dm.mean_eval, jnp.float32)
     std_e = jnp.asarray(dm.std_eval, jnp.float32)
 
-    # the BiGRU towers need lr ~2e-3 to escape the near-constant-output
-    # init regime, but diverge to NaN without clipping at that rate
-    # (gradients explode through the 196-step GRU scan); warmup + global
-    # norm clip + cosine decay keeps the whole run finite
+    # lr is a cliff for the BiGRU towers: 2e-3 saturates the motion GRU
+    # into a constant-output fixed point it never escapes (measured:
+    # style-mse stuck at the predict-mean baseline for 3000 steps), while
+    # 5e-4 fits the same objective to ~6e-3 in 300 steps. Warmup + global
+    # norm clip + cosine decay keeps the run finite either way.
     sched = optax.warmup_cosine_decay_schedule(
         init_value=lr * 0.05, peak_value=lr,
         warmup_steps=max(20, steps // 10), decay_steps=steps,
@@ -74,19 +75,21 @@ def train_t2m_evaluator(cfg: Config, dm, steps: int = 600,
         t_emb = bundle.textencoder.apply(
             {"params": p["text"]}, batch["word_embs"], batch["pos_ohot"],
             batch["text_len"])
-        # center per batch before normalizing: the random-init text GRU
-        # emits near-identical embeddings (common mode ~30x the signal),
-        # and plain InfoNCE then drives BOTH towers into mutual collapse
-        # (all-equal embeddings is a zero-gradient fixed point of the
-        # normalized loss — observed: loss pinned at ln(B)). Centering
-        # removes the common mode so the per-caption differences are what
-        # gets normalized to unit length; eval uses raw embeddings, whose
-        # learned structure is unaffected by the training-time shift.
-        t_c = t_emb - jnp.mean(t_emb, axis=0, keepdims=True)
-        m_c = m_emb - jnp.mean(m_emb, axis=0, keepdims=True)
-        t_n = t_c / (jnp.linalg.norm(t_c, axis=-1, keepdims=True) + 1e-6)
-        m_n = m_c / (jnp.linalg.norm(m_c, axis=-1, keepdims=True) + 1e-6)
-        logits = t_n @ m_n.T / temperature
+        # R-precision/Matching rank by RAW euclidean distance
+        # (metrics/utils.py euclidean_distance_matrix), so the
+        # contrastive logits are negative squared distances — training
+        # optimizes exactly the quantity the eval protocol sorts.
+        # Scale-adaptive: distances from random-init GRUs have arbitrary
+        # magnitude (peaked/flat softmax either way -> vanishing
+        # gradients), so normalize by the stop-gradient batch mean.
+        # (The earlier centered-cosine objective stayed at chance: the
+        # common-mode direction it removed is precisely what euclidean
+        # ranking is sensitive to.)
+        d2 = (jnp.sum(t_emb ** 2, -1)[:, None]
+              - 2.0 * t_emb @ m_emb.T
+              + jnp.sum(m_emb ** 2, -1)[None])
+        scale = jax.lax.stop_gradient(jnp.mean(d2)) + 1e-6
+        logits = -(d2 / scale) / temperature
         labels = jnp.arange(logits.shape[0])
         nce = 0.5 * (
             optax.softmax_cross_entropy_with_integer_labels(

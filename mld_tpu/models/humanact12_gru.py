@@ -28,7 +28,8 @@ class MotionDiscriminator(nn.Module):
         tanh(linear1) feature (FID variant) when return_features."""
         B, T, _ = motion.shape
         H = self.hidden_size
-        init = nn.initializers.uniform(scale=1.0 / jnp.sqrt(H))
+        from mld_tpu.ops.gru import _torch_gru_init
+        init = _torch_gru_init(H)  # torch symmetric U(+-1/sqrt(H))
         x = motion
         for layer in range(self.hidden_layers):
             I = self.input_size if layer == 0 else H

@@ -16,6 +16,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _torch_gru_init(hidden_size: int):
+    """torch nn.GRU weight init: symmetric U(-1/sqrt(H), +1/sqrt(H))."""
+    bound = 1.0 / float(hidden_size) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def _gru_step(x_t, h, w_ih, w_hh, b_ih, b_hh, hidden_size):
     """One torch-semantics GRU cell step. x_t [B, I], h [B, H]."""
     gi = x_t @ w_ih.T + b_ih
@@ -65,7 +75,12 @@ class BiGRU(nn.Module):
         """x [B, T, I], lengths [B], h0 [2, B, H] ->
         (outputs [B, T, 2H], final [2, B, H])."""
         H, I = self.hidden_size, self.input_size
-        init = nn.initializers.uniform(scale=1.0 / jnp.sqrt(H))
+        # torch nn.GRU reset_parameters: U(-1/sqrt(H), +1/sqrt(H)).
+        # flax nn.initializers.uniform is U[0, scale] — all-positive
+        # recurrent weights saturate the gates from step 0 (h0 has norm
+        # ~sqrt(H)) and freeze the GRU at an input-independent fixed
+        # point, which silently killed from-scratch evaluator training.
+        init = _torch_gru_init(H)
         w_ih = self.param("weight_ih_l0", init, (3 * H, I))
         w_hh = self.param("weight_hh_l0", init, (3 * H, H))
         b_ih = self.param("bias_ih_l0", init, (3 * H,))
