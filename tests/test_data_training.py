@@ -177,3 +177,71 @@ class TestMotionDataset:
                             std=np.ones(263), window_size=190)
         # clips shorter than the window contribute nothing
         assert all(m.shape[0] >= 190 for m in big.motions)
+
+
+class TestDeviceDataset:
+    """On-device sampler semantics vs the host pipeline
+    (data/device_dataset.py; crop/caption rules of dataset.py:161-173,
+    reference mld/data/humanml/data/dataset.py:386-422)."""
+
+    def test_sampled_windows_match_source_rows(self, synth_root):
+        cfg = tiny_cfg(synth_root)
+        mld = MLD(cfg)
+        dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+        dds = dm.device_dataset("train")
+        batch = dds.sample(jax.random.PRNGKey(3), 16)
+        assert batch["motion"].shape == (16, cfg.dataset.max_motion_len,
+                                         cfg.dataset.nfeats)
+        feats = np.asarray(dds.arrays["feats"])
+        lengths = np.asarray(dds.arrays["lengths"])
+        unit = cfg.dataset.unit_len
+        motion = np.asarray(batch["motion"])
+        mask = np.asarray(batch["mask"])
+        for b in range(16):
+            crop = int(mask[b].sum())
+            assert crop >= 1 and crop % unit == 0
+            win = motion[b, :crop]
+            # the window must appear verbatim in exactly one source row
+            hits = 0
+            for i in range(len(feats)):
+                L = lengths[i]
+                if crop > L:
+                    continue
+                for s in range(L - crop + 1):
+                    if np.array_equal(feats[i, s:s + crop], win):
+                        hits += 1
+                        break
+            assert hits >= 1, f"sampled window {b} not found in corpus"
+            # padded region zeroed (mld_vae.py:245 invariant upstream)
+            if crop < motion.shape[1]:
+                assert np.abs(motion[b, crop:]).max() == 0.0
+
+    def test_caption_ids_come_from_item(self, synth_root):
+        cfg = tiny_cfg(synth_root)
+        mld = MLD(cfg)
+        dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+        dds = dm.device_dataset("train")
+        batch = dds.sample(jax.random.PRNGKey(5), 32)
+        ids = np.asarray(batch["text_ids"])
+        all_ids = np.asarray(dds.arrays["text_ids"]).reshape(
+            -1, ids.shape[-1])
+        pool = {tuple(r) for r in all_ids}
+        for row in ids:
+            assert tuple(row) in pool
+
+    def test_device_train_scan_runs_and_learns(self, synth_root):
+        from mld_tpu.train.steps import make_device_train_scan
+        cfg = tiny_cfg(synth_root)
+        mld = MLD(cfg)
+        dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+        mld.mean = jnp.asarray(dm.mean, jnp.float32)
+        mld.std = jnp.asarray(dm.std, jnp.float32)
+        dds = dm.device_dataset("train")
+        params = mld.init_params(jax.random.PRNGKey(0))
+        state = create_train_state(mld, params, "vae")
+        scan = make_device_train_scan(mld, "vae", batch_size=4,
+                                      donate=False)
+        state, logs = scan(state, dds.arrays, jax.random.PRNGKey(1), 6)
+        total = np.asarray(logs["total"])
+        assert total.shape == (6,)
+        assert np.all(np.isfinite(total))
