@@ -109,11 +109,15 @@ def main():
     # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip
     # rate. Count on the UNCHUNKED decode program: cost analysis sees a
     # lax.map body once, not xN, so the chunked program under-reports.
+    saved_chunk = os.environ.get("MLD_TPU_DECODE_CHUNK")
     os.environ["MLD_TPU_DECODE_CHUNK"] = "0"
     flops = _program_flops(
         lambda p_, ids, m, r: mld.generate_joints(p_, ids, m, r),
         params, token_ids, mask, rng)
-    del os.environ["MLD_TPU_DECODE_CHUNK"]
+    if saved_chunk is None:
+        del os.environ["MLD_TPU_DECODE_CHUNK"]
+    else:
+        os.environ["MLD_TPU_DECODE_CHUNK"] = saved_chunk
     mfu = (flops * motions_per_sec / batch_size / _peak_flops()
            if flops else None)
 

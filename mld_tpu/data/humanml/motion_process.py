@@ -73,7 +73,10 @@ def recover_root_rot_pos(data: jnp.ndarray):
     # rotate per-frame step into the world frame, then integrate
     step = qrot(qinv(r_rot_quat), step)
     r_pos = jnp.cumsum(step, axis=-2)
-    r_pos = r_pos.at[..., 1].set(data[..., 3])
+    # root height comes straight from the features; build by concat rather
+    # than .at[].set — scatters lower poorly on TPU (serving hot path)
+    r_pos = jnp.concatenate(
+        [r_pos[..., 0:1], data[..., 3:4], r_pos[..., 2:3]], axis=-1)
     return r_rot_quat, r_pos
 
 
@@ -87,8 +90,12 @@ def recover_from_ric(data: jnp.ndarray, joints_num: int) -> jnp.ndarray:
     positions = positions.reshape(positions.shape[:-1] + (joints_num - 1, 3))
 
     positions = qrot(qinv(r_rot_quat)[..., None, :], positions)
-    positions = positions.at[..., 0].add(r_pos[..., 0:1])
-    positions = positions.at[..., 2].add(r_pos[..., 2:3])
+    # add the planar root track (y untouched) without scatters: broadcast a
+    # [..., 1, 3] offset with a zero y channel
+    zeros_y = jnp.zeros_like(r_pos[..., 1:2])
+    offset = jnp.concatenate(
+        [r_pos[..., 0:1], zeros_y, r_pos[..., 2:3]], axis=-1)
+    positions = positions + offset[..., None, :]
     return jnp.concatenate([r_pos[..., None, :], positions], axis=-2)
 
 
