@@ -24,6 +24,12 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--guidance", type=float, default=2.5,
+                   help="CFG scale for the eval sampling passes: the "
+                        "reference 7.5 assumes a converged denoiser; "
+                        "on short synthetic budgets it extrapolates "
+                        "latents ~4x outside the VAE prior (measured) "
+                        "and buries the learning signal")
     p.add_argument("--samples", type=int, default=320)
     p.add_argument("--eval-steps", type=int, default=1000,
                    help="contrastive training steps for the t2m evaluator "
@@ -73,6 +79,7 @@ def main():
         "model": {"latent_dim": 64, "ff_size": 128, "num_layers": 3,
                   "denoiser_num_layers": 3, "num_heads": 4,
                   "text_encoded_dim": 64, "clip_layers": 2, "clip_heads": 2,
+                  "guidance_scale": args.guidance,
                   "scheduler": {"num_inference_timesteps": 10}},
         "dataset": {"root": data_root, "max_motion_len": 96,
                     "min_motion_len": 16},
