@@ -109,15 +109,18 @@ def main():
     # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip
     # rate. Count on the UNCHUNKED decode program: cost analysis sees a
     # lax.map body once, not xN, so the chunked program under-reports.
-    saved_chunk = os.environ.get("MLD_TPU_DECODE_CHUNK")
-    os.environ["MLD_TPU_DECODE_CHUNK"] = "0"
+    saved = {k: os.environ.get(k)
+             for k in ("MLD_TPU_DECODE_CHUNK", "MLD_TPU_CLIP_CHUNK")}
+    for k in saved:
+        os.environ[k] = "0"
     flops = _program_flops(
         lambda p_, ids, m, r: mld.generate_joints(p_, ids, m, r),
         params, token_ids, mask, rng)
-    if saved_chunk is None:
-        del os.environ["MLD_TPU_DECODE_CHUNK"]
-    else:
-        os.environ["MLD_TPU_DECODE_CHUNK"] = saved_chunk
+    for k, v in saved.items():
+        if v is None:
+            del os.environ[k]
+        else:
+            os.environ[k] = v
     mfu = (flops * motions_per_sec / batch_size / _peak_flops()
            if flops else None)
 

@@ -52,9 +52,10 @@ def sample_batch(arrays: Dict, rng, batch_size: int, unit: int,
     start = jax.random.randint(k_start, (batch_size,), 0,
                                jnp.maximum(lengths - crop + 1, 1))
 
-    rows = arrays["feats"][idx]                       # [B, T, F]
+    # one fused [B,T,F] gather (row select + crop shift): materializing
+    # rows[idx] first and take_along_axis-ing after doubles HBM traffic
     t_idx = jnp.clip(start[:, None] + jnp.arange(max_len), 0, max_len - 1)
-    motion = jnp.take_along_axis(rows, t_idx[..., None], axis=1)
+    motion = arrays["feats"][idx[:, None], t_idx]     # [B, T, F]
     mask = jnp.arange(max_len)[None, :] < crop[:, None]
     motion = motion * mask[..., None]
 

@@ -109,7 +109,7 @@ class ActorVae(nn.Module):
         if sample_mean or rng is None or not self.is_vae:
             return mu, (mu, logvar)
         std = jnp.exp(0.5 * logvar)
-        eps = jax.random.normal(rng, mu.shape, mu.dtype)
+        eps = jax.random.normal(rng, mu.shape).astype(mu.dtype)
         return mu + fact * eps * std, (mu, logvar)
 
     def decode(self, z, mask, *, deterministic: bool = True):

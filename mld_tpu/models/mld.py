@@ -173,11 +173,41 @@ class MLD:
     # --------------------------------------------------------------- text emb
     def encode_text_tokens(self, params, token_ids):
         """[B, 77] ids -> [B, S_text, text_dim] (jit-able)."""
-        out = self.clip.apply({"params": params["clip"]}, token_ids,
-                              mode=self.clip_mode)
-        if self.clip_mode == "features":
-            out = out[:, None, :]
-        return out
+        def run(ids):
+            out = self.clip.apply({"params": params["clip"]}, ids,
+                                  mode=self.clip_mode)
+            if self.clip_mode == "features":
+                out = out[:, None, :]
+            return out
+
+        chunk = self._clip_chunk(token_ids.shape[0])
+        if chunk:
+            # same trick as _decode_chunk: the [B,12,77,77] attention
+            # working set falls out of VMEM at large B; lax.map over
+            # batch chunks inside the program recovers small-batch
+            # efficiency bit-exactly (chunk sweep: docs/ROUND3.md)
+            n = token_ids.shape[0] // chunk
+            out = jax.lax.map(run, token_ids.reshape(n, chunk, -1))
+            return out.reshape(n * chunk, *out.shape[2:])
+        return run(token_ids)
+
+    def _clip_chunk(self, batch: int) -> int:
+        """Chunk size for the serving-time CLIP pass (0 = no chunking).
+        Override with MLD_TPU_CLIP_CHUNK=<int|0|auto>."""
+        import os
+
+        flag = os.environ.get("MLD_TPU_CLIP_CHUNK", "auto")
+        if flag != "auto":
+            c = int(flag)
+            return c if c > 0 and batch % c == 0 and batch > c else 0
+        try:
+            on_tpu = (jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu and batch >= 128 and batch % 32 == 0:
+            return 32
+        return 0
 
     def encode_text(self, params, texts):
         return self.encode_text_tokens(params,

@@ -104,7 +104,11 @@ class MldVae(nn.Module):
         if sample_mean or rng is None:
             return mu, (mu, logvar)
         std = jnp.exp(0.5 * logvar)
-        eps = jax.random.normal(rng, mu.shape, mu.dtype)
+        # eps drawn in f32 regardless of compute dtype: bf16 normal draws
+        # are DIFFERENT numbers (bf16 uniforms), not rounded f32 ones —
+        # keeping the stream f32 makes mixed-precision runs replay the
+        # same noise as f32 runs (cast is a no-op for f32 models)
+        eps = jax.random.normal(rng, mu.shape).astype(mu.dtype)
         z = mu + fact * eps * std
         return z, (mu, logvar)
 

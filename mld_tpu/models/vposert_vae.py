@@ -50,7 +50,7 @@ class VPosert(nn.Module):
         logvar = 2.0 * jnp.log(scale + 1e-12)
         if sample_mean or rng is None:
             return mu, (mu, logvar)
-        eps = jax.random.normal(rng, mu.shape, mu.dtype)
+        eps = jax.random.normal(rng, mu.shape).astype(mu.dtype)
         return mu + fact * eps * scale, (mu, logvar)
 
     def decode(self, z, mask=None, *, deterministic: bool = True):

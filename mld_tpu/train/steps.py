@@ -101,8 +101,27 @@ def _maybe_remat(mld: MLD, fn):
     return jax.checkpoint(fn) if mld.cfg.train.remat else fn
 
 
+def _compute_cast(mld: MLD, tree):
+    """Mixed-precision training: when cfg.model.dtype == "bfloat16", the
+    model forwards run with params/activations cast to bf16 (MXU at full
+    rate, half the HBM traffic) while the master params, optimizer state
+    and loss math stay f32. The cast is differentiable, so value_and_grad
+    over the f32 masters still yields f32 gradients."""
+    if mld.dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(mld.dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def _f32(*xs):
+    out = tuple(x.astype(jnp.float32) for x in xs)
+    return out[0] if len(out) == 1 else out
+
+
 def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
-    params = {**frozen, **trainable}
+    params = _compute_cast(mld, {**frozen, **trainable})
     feats_ref = batch["motion"]
     mask = batch["mask"]
     rng_z, rng_d = jax.random.split(rng)
@@ -113,10 +132,11 @@ def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
     z, (mu, logvar) = _maybe_remat(
         mld, lambda p, f: mld.encode_motion(p, f, mask, rng_z,
                                             dropout_rng=drop1))(
-            params, feats_ref)
+            params, feats_ref.astype(mld.dtype))
     feats_rst = _maybe_remat(
         mld, lambda p, zz: mld.decode_latent(p, zz, mask,
                                              dropout_rng=drop2))(params, z)
+    feats_rst, mu, logvar = _f32(feats_rst, mu, logvar)
     joints_rst = mld.feats2joints(feats_rst)
     joints_ref = mld.feats2joints(feats_ref)
     total, logs = vae_losses(feats_rst, feats_ref, joints_rst, joints_ref,
@@ -126,7 +146,7 @@ def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
 
 
 def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
-    params = {**frozen, **trainable}
+    params = _compute_cast(mld, {**frozen, **trainable})
     feats_ref = batch["motion"]
     mask = batch["mask"]
     B = feats_ref.shape[0]
@@ -134,8 +154,9 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
 
     # latent (stop-grad through frozen VAE; mld.py:526-528)
     if mld.is_vae:
-        z, _ = mld.encode_motion(params, feats_ref, mask, rng_z)
-        z = jax.lax.stop_gradient(z)
+        z, _ = mld.encode_motion(params, feats_ref.astype(mld.dtype),
+                                 mask, rng_z)
+        z = jax.lax.stop_gradient(_f32(z))
     else:
         z = feats_ref
 
@@ -160,10 +181,12 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
                    if train else None)
     denoise_fn = _maybe_remat(
         mld, lambda p, x: mld.denoise(
-            p, x, t, cond_emb, mask if not mld.is_vae else None,
+            p, x, t, cond_emb.astype(mld.dtype)
+            if mld.condition in ("text", "text_uncond") else cond_emb,
+            mask if not mld.is_vae else None,
             dropout_rng=rng_dropout, cond_rng=rng_cond if train else None,
             training=train))
-    pred = denoise_fn(params, noisy)
+    pred = _f32(denoise_fn(params, noisy.astype(mld.dtype)))
 
     predict_epsilon = mld.cfg.train.predict_epsilon
     target = noise if predict_epsilon else z

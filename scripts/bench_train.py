@@ -45,6 +45,9 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forwards in the loss (A/B "
                         "activation traffic vs recompute)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training (model.dtype=bfloat16: "
+                        "bf16 forwards, f32 masters/optimizer/loss)")
     args = p.parse_args()
 
     import jax
@@ -56,6 +59,8 @@ def main():
     over = {}
     if args.dropout is not None:
         over["model"] = {"dropout": args.dropout}
+    if args.bf16:
+        over.setdefault("model", {})["dtype"] = "bfloat16"
     if args.remat:
         over["train"] = {"remat": True}
     cfg = load_config(None, over or None, preset="mld_humanml3d")
@@ -123,10 +128,11 @@ def pipeline_bench(args, cfg):
     from mld_tpu.train.steps import (create_train_state, make_train_scan,
                                      make_train_step)
 
-    cfg = load_config(None, {"dataset": {"root": args.data_root},
-                             "train": {"stage": args.stage,
-                                       "batch_size": args.batch}},
-                      preset="mld_humanml3d")
+    over = {"dataset": {"root": args.data_root},
+            "train": {"stage": args.stage, "batch_size": args.batch}}
+    if args.bf16:
+        over["model"] = {"dtype": "bfloat16"}
+    cfg = load_config(None, over, preset="mld_humanml3d")
     mld = MLD(cfg)
     dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
     mld.mean = jnp.asarray(dm.mean, jnp.float32)

@@ -140,3 +140,24 @@ def test_chunked_decode_bitexact(tmp_path, monkeypatch):
     monkeypatch.setenv("MLD_TPU_DECODE_CHUNK", "3")
     out = np.asarray(jax.jit(mld.decode_latent)(params, z, mask))
     assert np.array_equal(out, ref)
+
+
+def test_chunked_clip_bitexact(tmp_path, monkeypatch):
+    """Serving-time chunked CLIP pass (models/mld.py _clip_chunk) must be
+    bit-exact vs the one-call tower — pure batch slicing of the same
+    program (mirrors test_chunked_decode_bitexact)."""
+    cfg = _tiny_cfg("mld_humanml3d", tmp_path)
+    mld = MLD(cfg)
+    params = mld.init_params(jax.random.PRNGKey(0))
+    ids = jnp.asarray(mld.tokenizer(
+        ["walk", "run", "jump", "sit", "wave", "turn", "kick", "spin"]))
+
+    monkeypatch.setenv("MLD_TPU_CLIP_CHUNK", "0")
+    ref = np.asarray(jax.jit(mld.encode_text_tokens)(params, ids))
+    monkeypatch.setenv("MLD_TPU_CLIP_CHUNK", "4")
+    out = np.asarray(jax.jit(mld.encode_text_tokens)(params, ids))
+    assert np.array_equal(out, ref)
+    # non-dividing chunk falls back to the one-call path
+    monkeypatch.setenv("MLD_TPU_CLIP_CHUNK", "3")
+    out = np.asarray(jax.jit(mld.encode_text_tokens)(params, ids))
+    assert np.array_equal(out, ref)
