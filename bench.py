@@ -107,15 +107,51 @@ def main():
     motions_per_sec = rates[len(rates) // 2]
 
     # MFU: XLA cost-analysis FLOPs of the compiled program / peak chip
-    # rate. Count on the UNCHUNKED decode program: cost analysis sees a
-    # lax.map body once, not xN, so the chunked program under-reports.
+    # rate. Two accounting rules (r3 verdict: the artifact of record lost
+    # ~10 GF of CLIP):
+    #  1. count on FRESH traces of the UNJITTED pipeline — the cached
+    #     `generate_joints` jit does not retrace when the chunk env vars
+    #     flip, so the old lambda re-jit analyzed the auto-chunked program
+    #     in which cost analysis sees each lax.map body once;
+    #  2. cross-check the total against the per-stage program sum
+    #     (docs/ROOFLINE.md methodology) and report both.
     saved = {k: os.environ.get(k)
              for k in ("MLD_TPU_DECODE_CHUNK", "MLD_TPU_CLIP_CHUNK")}
     for k in saved:
         os.environ[k] = "0"
-    flops = _program_flops(
-        lambda p_, ids, m, r: mld.generate_joints(p_, ids, m, r),
-        params, token_ids, mask, rng)
+
+    def cost_total(p_, ids, m, r):
+        feats = mld._generate_impl(p_, ids, m, r)
+        return mld.feats2joints(feats) * m[..., None, None]
+
+    flops = _program_flops(cost_total, params, token_ids, mask, rng)
+
+    # per-stage programs (text condition only — the flagship preset)
+    stage_flops = None
+    if getattr(mld, "clip", None) is not None:
+        def cost_clip(p_, ids):
+            un = mld.encode_text_tokens(p_, mld.uncond_ids)
+            un = jnp.broadcast_to(un, (batch_size,) + un.shape[1:])
+            return jnp.concatenate(
+                [un, mld.encode_text_tokens(p_, ids)], 0)
+
+        cond_emb = jax.jit(cost_clip)(params, token_ids)
+        z = jax.jit(mld.diffusion_reverse)(params, cond_emb, mask, rng)
+        f_clip = _program_flops(cost_clip, params, token_ids)
+        f_scan = _program_flops(mld.diffusion_reverse, params, cond_emb,
+                                mask, rng)
+        if mld.is_vae:
+            f_dec = _program_flops(mld.decode_latent, params, z, mask)
+        else:
+            f_dec = 0.0
+        f_ric = _program_flops(
+            lambda f_, m: mld.feats2joints(f_) * m[..., None, None],
+            jnp.zeros((batch_size, T, mld.nfeats)), mask)
+        parts = [f_clip, f_scan, f_dec, f_ric]
+        if all(v is not None for v in parts):
+            stage_flops = {"clip": f_clip, "ddim_scan": f_scan,
+                           "vae_decode": f_dec, "feats2joints": f_ric}
+
     for k, v in saved.items():
         if v is None:
             del os.environ[k]
@@ -146,6 +182,13 @@ def main():
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["gflop_per_motion"] = round(flops / batch_size / 1e9, 2)
+    if stage_flops is not None and flops:
+        ssum = sum(stage_flops.values())
+        out["gflop_per_motion_stage_sum"] = round(
+            ssum / batch_size / 1e9, 2)
+        # self-consistency guard (r3: total and stage-sum disagreed 3.5x)
+        out["flops_check"] = ("ok" if abs(ssum - flops) / flops <= 0.10
+                              else "MISMATCH")
     print(json.dumps(out))
 
 

@@ -38,10 +38,13 @@ def parse_args():
                    help="orbax dir / .npz / reference .ckpt")
     p.add_argument("--out", type=str, default="results/demo")
     p.add_argument("--task", type=str, default="text_motion",
-                   choices=["text_motion", "random_sampling",
+                   choices=["text_motion", "action", "random_sampling",
                             "reconstruction"],
-                   help="text->motion, latent-prior sampling, or "
-                        "VAE reconstruction of an input feature npy")
+                   help="text->motion, action->motion, latent-prior "
+                        "sampling, or VAE reconstruction of a feature npy")
+    p.add_argument("--action", type=int, nargs="*", default=None,
+                   help="action class ids for --task action "
+                        "(e.g. --action 3 7; use an action preset)")
     p.add_argument("--motion", type=str, default=None,
                    help="[T, nfeats] feature npy for --task reconstruction")
     p.add_argument("--replication", type=int, default=1)
@@ -62,9 +65,11 @@ def main():
     from mld_tpu.models.mld import MLD
     from mld_tpu.train.loop import _load_pretrained
 
+    if args.task == "action" and args.preset == "mld_humanml3d":
+        args.preset = "mld_humanact12"  # action task needs an a2m preset
     cfg = load_config(args.cfg, None, preset=args.preset)
     mld = MLD(cfg)
-    dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+    dm = get_datamodule(cfg, tokenizer=getattr(mld, "tokenizer", None))
     import jax.numpy as jnp
     mld.mean = jnp.asarray(dm.mean, jnp.float32)
     mld.std = jnp.asarray(dm.std, jnp.float32)
@@ -74,6 +79,8 @@ def main():
         params = _load_pretrained(args.checkpoint, params)
         print(f"loaded checkpoint {args.checkpoint}")
 
+    if args.task == "action":
+        return run_action_task(args, cfg, mld, params)
     if args.task in ("random_sampling", "reconstruction"):
         return run_latent_tasks(args, cfg, mld, dm, params)
 
@@ -141,6 +148,36 @@ def main():
                 stacked[i, r, : len(j)] = j
         np.save(os.path.join(args.out, f"{args.task}_allinone.npy"), stacked)
         print(f"saved allinone {stacked.shape}")
+
+
+def run_action_task(args, cfg, mld, params):
+    """action class ids -> [len, 24, 3] npy (+optional render) per sample,
+    matching the t2m demo ergonomics (one-command a2m sampling)."""
+    import jax
+    from mld_tpu.data.a2m import HUMANACT12_ACTIONS
+
+    actions = args.action if args.action else [0, 1]
+    bad = [a for a in actions if not 0 <= a < cfg.model.nclasses]
+    assert not bad, f"action ids {bad} out of range [0, {cfg.model.nclasses})"
+    lengths = args.length or [cfg.dataset.num_frames] * len(actions)
+    os.makedirs(args.out, exist_ok=True)
+    names = (HUMANACT12_ACTIONS if cfg.dataset.name == "humanact12"
+             else {})
+    for rep in range(args.replication):
+        joints_list = mld.generate_action(params, actions,
+                                          jax.random.PRNGKey(rep), lengths)
+        for i, joints in enumerate(joints_list):
+            label = names.get(actions[i], f"class{actions[i]}")
+            stem = f"action_{actions[i]}_{label}_batch0_{i}"
+            if args.replication > 1:
+                stem += f"_{rep}"
+            np.save(os.path.join(args.out, stem + ".npy"), joints)
+            print(f"saved {stem}.npy  [{joints.shape}]")
+            if args.render:
+                from mld_tpu.render.skeleton import save_skeleton_animation
+                save_skeleton_animation(
+                    joints, os.path.join(args.out, stem + ".gif"),
+                    title=label)
 
 
 def run_latent_tasks(args, cfg, mld, dm, params):

@@ -71,6 +71,10 @@ class ModelConfig:
     clip_compute_dtype: str = "bfloat16"
     nclasses: int = 10
     t2m_path: str = "deps/t2m"
+    # frozen a2m classifier checkpoints (assets.yaml:30-31); random-init
+    # fallback keeps synthetic/offline pipelines runnable
+    humanact12_rec_path: str = "deps/actionrecognition"
+    uestc_rec_path: str = "deps/actionrecognition"
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     # compute dtype for the denoiser/vae ("float32" | "bfloat16")
     dtype: str = "float32"

@@ -88,10 +88,14 @@ class Evaluator:
         self.cfg = cfg
         self.mld = mld
         self.dm = datamodule
-        self.bundle = T2MEvaluatorBundle(cfg, t2m_params)
+        self.is_a2m = cfg.model.condition == "action"
+        self.bundle = (None if self.is_a2m
+                       else T2MEvaluatorBundle(cfg, t2m_params))
         self.unit_len = cfg.dataset.unit_len
         self._eval_batch_jit = jax.jit(self._eval_batch,
                                        static_argnames=("stage",))
+        self._a2m_batch_jit = jax.jit(self._a2m_batch,
+                                      static_argnames=("stage",))
 
     # ------------------------------------------------------------- jitted core
     def _eval_batch(self, params, text_ids, word_embs, pos_ohot, text_lens,
@@ -123,6 +127,104 @@ class Evaluator:
             "joints_rst": joints_rst, "joints_ref": joints_ref,
             "align": align,
         }
+
+    def _a2m_batch(self, params, actions, motion, mask, rng,
+                   stage: str = "diffusion"):
+        """Action-to-motion eval core (mld.py:710-760 a2m_eval as one XLA
+        program): generate (or VAE-reconstruct), decode, SMPL-topology
+        joints for the frozen classifiers."""
+        mld = self.mld
+        if stage == "diffusion":
+            feats_rst = mld._generate_impl(params, actions, mask, rng)
+        else:  # vae reconstruction
+            z, _ = mld.encode_motion(params, motion, mask, rng)
+            feats_rst = mld.decode_latent(params, z, mask)
+        # rot2joints with translation = the reference's feats2joints_eval
+        # (jointstype='smpl', vertstrans=True, mld.py:120-131)
+        joints_rst = mld.feats2joints(feats_rst, mask)
+        joints_ref = mld.feats2joints(motion, mask)
+        return {"feats_rst": feats_rst, "joints_rst": joints_rst,
+                "joints_ref": joints_ref}
+
+    def _make_a2m_accumulator(self, diversity_times: int):
+        """HUMANACT/UESTC metric accumulator; frozen classifier from the
+        reference checkpoint when the asset exists (modeltype/base.py:154,
+        metrics/stgcn.py:41), random-init otherwise (synthetic/offline)."""
+        import os
+        cfg = self.cfg
+        mm_times = cfg.eval.mm_num_times
+        if cfg.dataset.name.lower() == "uestc":
+            from mld_tpu.metrics import UESTCMetrics
+            tar = os.path.join(cfg.model.uestc_rec_path,
+                               "uestc_rot6d_stgcn.tar")
+            if os.path.exists(tar):
+                return UESTCMetrics.from_checkpoint(
+                    tar, num_labels=cfg.model.nclasses,
+                    diversity_times=diversity_times,
+                    multimodality_times=mm_times)
+            return UESTCMetrics(num_labels=cfg.model.nclasses,
+                                diversity_times=diversity_times,
+                                multimodality_times=mm_times)
+        from mld_tpu.metrics import HUMANACTMetrics
+        tar = os.path.join(cfg.model.humanact12_rec_path,
+                           "humanact12_gru.tar")
+        if os.path.exists(tar):
+            return HUMANACTMetrics.from_checkpoint(
+                tar, num_labels=cfg.model.nclasses,
+                diversity_times=diversity_times,
+                multimodality_times=mm_times)
+        return HUMANACTMetrics(num_labels=cfg.model.nclasses,
+                               diversity_times=diversity_times,
+                               multimodality_times=mm_times)
+
+    def run_split_a2m(self, params, loader, rng, stage="diffusion",
+                      compute_rng: Optional[np.random.RandomState] = None,
+                      diversity_times: Optional[int] = None,
+                      prediction_sink=None) -> Dict:
+        """One metric pass over the a2m test split (allsplit_step a2m branch,
+        mld.py:875-907): accuracy/FID/Diversity/Multimodality through the
+        frozen HumanAct12-GRU or UESTC-ST-GCN classifier."""
+        cfg = self.cfg
+        acc = self._make_a2m_accumulator(
+            diversity_times or cfg.eval.diversity_times)
+        is_uestc = cfg.dataset.name.lower() == "uestc"
+        for batch in loader:
+            rng, srng = jax.random.split(rng)
+            motion = np.asarray(batch["motion"])
+            mask = np.asarray(batch["mask"])
+            actions = np.asarray(batch["action"])
+            lengths = np.asarray(batch["length"])
+            n_real = motion.shape[0]
+            target_b = cfg.eval.batch_size
+            if n_real < target_b:  # pad ragged tail; sliced off below
+                pad_n = target_b - n_real
+                motion = np.concatenate(
+                    [motion, np.zeros((pad_n,) + motion.shape[1:],
+                                      motion.dtype)], 0)
+                mask = np.concatenate(
+                    [mask, np.zeros((pad_n,) + mask.shape[1:], mask.dtype)],
+                    0)
+                actions = np.concatenate(
+                    [actions, np.zeros(pad_n, actions.dtype)])
+            out = self._a2m_batch_jit(params, jnp.asarray(actions),
+                                      jnp.asarray(motion), jnp.asarray(mask),
+                                      srng, stage=stage)
+            out = {k: np.asarray(v)[:n_real] for k, v in out.items()}
+            if prediction_sink is not None:
+                prediction_sink(out["joints_rst"], lengths)
+            if is_uestc:
+                # ST-GCN consumes rot6d rotations [B, V=24, 6, T]
+                # (base.py:895-903; our feature layout is [25 joints, 6])
+                def to_rots(feats):
+                    B, T, _ = feats.shape
+                    x = feats.reshape(B, T, 25, 6)[:, :, :24]
+                    return np.transpose(x, (0, 2, 3, 1))
+                acc.update(actions[:n_real], to_rots(out["feats_rst"]),
+                           to_rots(np.asarray(batch["motion"])), lengths)
+            else:
+                acc.update(actions[:n_real], out["joints_rst"],
+                           out["joints_ref"], lengths)
+        return acc.compute(rng=compute_rng)
 
     def _eval_gt_batch(self, word_embs, pos_ohot, text_lens, motion, mask,
                        lengths):
@@ -162,7 +264,8 @@ class Evaluator:
                   metrics=("TM2TMetrics", "TemosMetric"),
                   mm: bool = False, mesh=None,
                   compute_rng: Optional[np.random.RandomState] = None,
-                  diversity_times: Optional[int] = None) -> Dict:
+                  diversity_times: Optional[int] = None,
+                  prediction_sink=None) -> Dict:
         """`mesh`: optional jax.sharding.Mesh — batch axis sharded over its
         "data" axis (multi-chip serving-scale eval; the reference evaluates
         single-GPU only, test.py forces 1 device)."""
@@ -183,9 +286,15 @@ class Evaluator:
                 R_size=cfg.eval.r_size,
                 diversity_times=div_times)
         if "TemosMetric" in metrics:
+            ds = cfg.dataset.name.lower()
+            if ds not in ("humanml3d", "kit"):
+                # a2m datasets must not silently route through the KIT
+                # jointstype (reference raises too, mld.py:856-864)
+                raise TypeError(
+                    "APE/AVE metrics only support humanml3d and kit")
             accs["TemosMetric"] = ComputeMetrics(
-                njoints=cfg.dataset.njoints, jointstype=cfg.dataset.name
-                if cfg.dataset.name in ("humanml3d",) else "mmm")
+                njoints=cfg.dataset.njoints,
+                jointstype="humanml3d" if ds == "humanml3d" else "mmm")
         if "MRMetrics" in metrics:
             accs["MRMetrics"] = MRMetrics(njoints=cfg.dataset.njoints)
         if "UncondMetrics" in metrics:
@@ -234,6 +343,11 @@ class Evaluator:
             real_sorted = align < n_real          # padded rows sort last
             sorted_lengths = lengths[align][real_sorted]
 
+            if prediction_sink is not None:
+                # the EXACT motions the metrics below are computed on
+                # (reference saves evaluated outputs, base.py:184)
+                prediction_sink(out["joints_rst"][:n_real],
+                                lengths[:n_real])
             if mm:
                 accs["MMMetrics"].update(out["lat_rm"][None],
                                          np.asarray(batch["length"]))
@@ -265,8 +379,13 @@ class Evaluator:
         return results
 
     def run(self, params, rng, replication_times: Optional[int] = None,
-            stage="diffusion", with_mm: bool = True) -> Dict:
-        """Full test protocol: N replications, mean ± 95% interval."""
+            stage="diffusion", with_mm: bool = True,
+            prediction_sink=None) -> Dict:
+        """Full test protocol: N replications, mean ± 95% interval.
+
+        `prediction_sink(joints, lengths)`: called per batch of the FIRST
+        replication's main pass with the evaluated generations — the
+        --save_predictions hook (reference modeltype/base.py:184)."""
         cfg = self.cfg
         replication_times = replication_times or cfg.test.replication_times
         all_metrics: Dict[str, list] = {}
@@ -276,11 +395,20 @@ class Evaluator:
             # mm sample subset and metric shuffle each time (test.py:116-131);
             # reusing seed 0 would understate the reported conf95 intervals
             rep_rng = np.random.RandomState(rep)
+            sink = prediction_sink if rep == 0 else None
             loader = self.dm.loader("test", shuffle=False,
                                     batch_size=cfg.eval.batch_size)
+            if self.is_a2m:
+                res = self.run_split_a2m(params, loader, r1, stage=stage,
+                                         compute_rng=rep_rng,
+                                         prediction_sink=sink)
+                for k, v in res.items():
+                    all_metrics.setdefault(k, []).append(float(v))
+                continue
             res = self.run_split(params, loader, r1, stage=stage,
                                  metrics=tuple(cfg.eval.metrics),
-                                 compute_rng=rep_rng)
+                                 compute_rng=rep_rng,
+                                 prediction_sink=sink)
             if with_mm and "TM2TMetrics" in cfg.eval.metrics:
                 self.dm.mm_mode(True, cfg.eval.mm_num_samples, rng=rep_rng)
                 mm_loader = self.dm.loader("test", shuffle=False)

@@ -171,8 +171,12 @@ class MLD:
         return params
 
     # --------------------------------------------------------------- text emb
-    def encode_text_tokens(self, params, token_ids):
-        """[B, 77] ids -> [B, S_text, text_dim] (jit-able)."""
+    def encode_text_tokens(self, params, token_ids, serving: bool = True):
+        """[B, 77] ids -> [B, S_text, text_dim] (jit-able).
+
+        `serving=False` (training call sites, train/steps.py) disables the
+        auto batch-chunking below — its VMEM rationale was measured for the
+        serving program only."""
         def run(ids):
             out = self.clip.apply({"params": params["clip"]}, ids,
                                   mode=self.clip_mode)
@@ -180,12 +184,13 @@ class MLD:
                 out = out[:, None, :]
             return out
 
-        chunk = self._clip_chunk(token_ids.shape[0])
+        chunk = self._clip_chunk(token_ids.shape[0]) if serving else 0
         if chunk:
             # same trick as _decode_chunk: the [B,12,77,77] attention
             # working set falls out of VMEM at large B; lax.map over
             # batch chunks inside the program recovers small-batch
-            # efficiency bit-exactly (chunk sweep: docs/ROUND3.md)
+            # efficiency bit-exactly (chunk sweep:
+            # docs/bench_clip_chunk_r3.json)
             n = token_ids.shape[0] // chunk
             out = jax.lax.map(run, token_ids.reshape(n, chunk, -1))
             return out.reshape(n * chunk, *out.shape[2:])
@@ -342,10 +347,27 @@ class MLD:
             # auto mode stays single-device: SPMD cannot auto-partition a
             # pallas_call, so sharded multi-chip eval keeps the XLA path
             # (force with MLD_TPU_FUSED_DENOISER=1 under shard_map)
-            return (jax.default_backend() == "tpu"
-                    and jax.device_count() == 1)
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and jax.device_count() > 1:
+                self._warn_fused_fallback()
+                return False
+            return on_tpu
         except Exception:  # pragma: no cover
             return False
+
+    def _warn_fused_fallback(self):
+        """One visible line when multi-device auto-disables the fused
+        Pallas serving path — a user benchmarking an N-chip mesh should
+        know the XLA path is what's running."""
+        if getattr(self, "_fused_fallback_warned", False):
+            return
+        self._fused_fallback_warned = True
+        import logging
+        logging.getLogger("mld_tpu").warning(
+            "fused Pallas serving kernels auto-disabled on %d devices "
+            "(SPMD cannot partition pallas_call); running the XLA path. "
+            "Force with MLD_TPU_FUSED_DENOISER=1 under shard_map.",
+            jax.device_count())
 
     # -------------------------------------------------------------- sampling
     def _init_latents(self, rng, batch_size, mask):
@@ -473,5 +495,20 @@ class MLD:
         mask = lengths_to_mask(jnp.asarray(lengths), self.max_frames)
         token_ids = jnp.asarray(self.tokenizer(texts))
         joints = self.generate_joints(params, token_ids, mask, rng)
+        joints = np.asarray(joints)
+        return [joints[i, : int(l)] for i, l in enumerate(lengths)]
+
+    def generate_action(self, params, actions, rng, lengths=None):
+        """Action-to-motion host convenience: class ids -> list of
+        [len, 24, 3] numpy arrays (the a2m twin of generate(); reference
+        covers this via scripts/tsne.py + the test flow only)."""
+        actions = np.asarray(actions, np.int32).reshape(-1)
+        T = self.cfg.dataset.num_frames
+        if lengths is None:
+            lengths = [T] * len(actions)
+        lengths = [min(int(l), T) for l in lengths]
+        mask = lengths_to_mask(jnp.asarray(lengths), T)
+        joints = self.generate_joints(params, jnp.asarray(actions), mask,
+                                      rng)
         joints = np.asarray(joints)
         return [joints[i, : int(l)] for i, l in enumerate(lengths)]

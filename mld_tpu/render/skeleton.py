@@ -23,6 +23,9 @@ def _chains_for(njoints: int):
         return T2M_KINEMATIC_CHAIN
     if njoints == 21:
         return KIT_KINEMATIC_CHAIN
+    if njoints == 24:  # SMPL topology (a2m joints)
+        from mld_tpu.models.smpl import SMPL_PARENTS
+        return [[p, j] for j, p in enumerate(SMPL_PARENTS) if p >= 0]
     # fallback: star from root
     return [[0, j] for j in range(1, njoints)]
 

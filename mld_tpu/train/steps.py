@@ -162,10 +162,14 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
 
     # condition with classifier-free-guidance drop (mld.py:536-541)
     if mld.condition in ("text", "text_uncond"):
-        cond = mld.encode_text_tokens(params, batch["text_ids"])
+        # serving=False: keep the frozen CLIP pass un-chunked inside the
+        # train step (the chunking win was measured for serving only)
+        cond = mld.encode_text_tokens(params, batch["text_ids"],
+                                      serving=False)
         uncond = mld.encode_text_tokens(
             params, jnp.broadcast_to(mld.uncond_ids,
-                                     batch["text_ids"].shape))
+                                     batch["text_ids"].shape),
+            serving=False)
         drop = jax.random.bernoulli(
             rng_drop, mld.cfg.model.guidance_uncondp, (B, 1, 1))
         cond_emb = jnp.where(drop, uncond, cond)

@@ -53,7 +53,8 @@ def main():
         stage = "diffusion"
 
     mld = MLD(cfg)
-    dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+    # action presets have no text tokenizer (mld.py:134-145)
+    dm = get_datamodule(cfg, tokenizer=getattr(mld, "tokenizer", None))
     mld.mean = jnp.asarray(dm.mean, jnp.float32)
     mld.std = jnp.asarray(dm.std, jnp.float32)
     mld.mean_eval = jnp.asarray(dm.mean_eval, jnp.float32)
@@ -65,33 +66,36 @@ def main():
         params = _load_pretrained(ckpt, params)
         print(f"loaded checkpoint {ckpt}")
 
+    prediction_sink = None
+    if args.save_predictions or cfg.test.save_predictions:
+        # dump the EXACT motions the metrics are computed on (reference
+        # modeltype/base.py:184), not a fresh re-sample
+        import numpy as np
+        pred_dir = os.path.join(cfg.logger.folder, "mld", cfg.name,
+                                "predictions")
+        os.makedirs(pred_dir, exist_ok=True)
+        counter = {"n": 0}
+
+        def prediction_sink(joints, lengths):
+            joints = np.asarray(joints)
+            for i, L in enumerate(np.asarray(lengths)):
+                np.save(os.path.join(pred_dir,
+                                     f"pred_{counter['n']:05d}.npy"),
+                        joints[i, : int(L)])
+                counter["n"] += 1
+
     evaluator = Evaluator(cfg, mld, dm)
     results = evaluator.run(params, jax.random.PRNGKey(cfg.seed),
                             replication_times=cfg.test.replication_times,
-                            stage=stage, with_mm=not args.no_mm)
-    if args.gt:
+                            stage=stage, with_mm=not args.no_mm,
+                            prediction_sink=prediction_sink)
+    if args.gt and not evaluator.is_a2m:
         gt = evaluator.run_gt(params, dm.loader("test", shuffle=False),
                               jax.random.PRNGKey(0))
         results.update({f"gt_only/{k}": float(v) for k, v in gt.items()})
 
-    if args.save_predictions or cfg.test.save_predictions:
-        import numpy as np
-        from mld_tpu.models.mld import lengths_to_mask
-        pred_dir = os.path.join(cfg.logger.folder, "mld", cfg.name,
-                                "predictions")
-        os.makedirs(pred_dir, exist_ok=True)
-        count = 0
-        for batch in dm.loader("test", shuffle=False):
-            mask = jnp.asarray(batch["mask"])
-            joints = mld.generate_joints(
-                params, jnp.asarray(batch["text_ids"]), mask,
-                jax.random.PRNGKey(count))
-            joints = np.asarray(joints)
-            for i, L in enumerate(batch["length"]):
-                np.save(os.path.join(pred_dir, f"pred_{count:05d}.npy"),
-                        joints[i, : int(L)])
-                count += 1
-        print(f"saved {count} prediction npys to {pred_dir}")
+    if prediction_sink is not None:
+        print(f"saved {counter['n']} evaluated-prediction npys")
 
     exp_dir = create_experiment_dir(cfg.logger.folder, "mld", cfg.name,
                                     phase="test")

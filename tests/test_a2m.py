@@ -1,5 +1,6 @@
 """Action-to-motion family: rotation conversions, ActorVae, GRU classifier,
 HumanAct12 data + metrics, end-to-end a2m pipeline."""
+import os
 import types
 
 import numpy as np
@@ -178,3 +179,102 @@ class TestA2MEndToEnd:
         out = metr.compute()
         assert out["gt_accuracy"] == out["accuracy"]
         assert np.isfinite(out["FID"])
+
+
+class TestA2MEvaluation:
+    """The a2m evaluation protocol end-to-end (reference test.py:116-139 +
+    mld.py:710-770 a2m_eval): CLI-reachable, accuracy/FID through the
+    frozen classifiers."""
+
+    def _overrides(self, tmp_path, name="humanact12"):
+        return {
+            "debug": True,
+            "model": {"latent_dim": 32, "ff_size": 64, "num_layers": 3,
+                      "denoiser_num_layers": 3, "num_heads": 4,
+                      "scheduler": {"num_inference_timesteps": 3}},
+            "dataset": {"root": str(tmp_path / name), "num_frames": 16,
+                        "max_motion_len": 16},
+            "train": {"stage": "diffusion"},
+            "eval": {"batch_size": 8, "diversity_times": 4,
+                     "mm_num_times": 2},
+            "test": {"replication_times": 1},
+            "logger": {"folder": str(tmp_path / "exp"),
+                       "tensorboard": False},
+        }
+
+    def test_evaluator_a2m_humanact12(self, tmp_path):
+        from mld_tpu.config import load_config
+        from mld_tpu.data.datamodule import get_datamodule
+        from mld_tpu.eval.pipeline import Evaluator
+        from mld_tpu.models.mld import MLD
+
+        cfg = load_config(None, self._overrides(tmp_path),
+                          preset="mld_humanact12")
+        mld = MLD(cfg)
+        dm = get_datamodule(cfg)
+        params = mld.init_params(jax.random.PRNGKey(0))
+        ev = Evaluator(cfg, mld, dm)
+        assert ev.is_a2m and ev.bundle is None
+        res = ev.run(params, jax.random.PRNGKey(0), replication_times=1,
+                     stage="diffusion")
+        for key in ("accuracy", "gt_accuracy", "FID", "Diversity"):
+            assert key in res, f"missing {key}: {sorted(res)}"
+            assert np.isfinite(res[key])
+        assert 0.0 <= res["accuracy"] <= 1.0
+        # vae-stage (reconstruction) protocol also reachable
+        res_vae = ev.run(params, jax.random.PRNGKey(1),
+                         replication_times=1, stage="vae")
+        assert np.isfinite(res_vae["FID"])
+
+    def test_evaluator_a2m_uestc_stgcn(self, tmp_path):
+        from mld_tpu.config import load_config
+        from mld_tpu.data.datamodule import get_datamodule
+        from mld_tpu.eval.pipeline import Evaluator
+        from mld_tpu.models.mld import MLD
+
+        over = self._overrides(tmp_path, "uestc")
+        cfg = load_config(None, over, preset="mld_uestc")
+        mld = MLD(cfg)
+        dm = get_datamodule(cfg)
+        params = mld.init_params(jax.random.PRNGKey(0))
+        ev = Evaluator(cfg, mld, dm)
+        res = ev.run(params, jax.random.PRNGKey(0), replication_times=1,
+                     stage="diffusion")
+        assert "accuracy" in res and np.isfinite(res["FID"])
+
+    def test_a2m_cli(self, tmp_path):
+        """`python test.py --preset mld_humanact12` must work (round-3
+        verdict: the tokenizer dereference crashed action presets)."""
+        import json
+        import subprocess
+        import sys
+        from conftest import REPO_ROOT
+
+        cfg_path = tmp_path / "a2m.yaml"
+        out_path = tmp_path / "res.json"
+        cfg_path.write_text(json.dumps(self._overrides(tmp_path)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "test.py"),
+             "--preset", "mld_humanact12", "--cfg", str(cfg_path),
+             "--replication", "1", "--no_mm", "--out", str(out_path)],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=REPO_ROOT)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        res = json.loads(out_path.read_text())
+        assert "accuracy" in res and "FID" in res
+
+    def test_demo_action_task(self, tmp_path):
+        """demo.py --task action --action 3 7 ergonomics (host path)."""
+        from mld_tpu.config import load_config
+        from mld_tpu.models.mld import MLD
+
+        cfg = load_config(None, self._overrides(tmp_path),
+                          preset="mld_humanact12")
+        mld = MLD(cfg)
+        params = mld.init_params(jax.random.PRNGKey(0))
+        outs = mld.generate_action(params, [3, 7], jax.random.PRNGKey(0))
+        assert len(outs) == 2 and outs[0].shape == (16, 24, 3)
+        outs2 = mld.generate_action(params, [1], jax.random.PRNGKey(0),
+                                    lengths=[12])
+        assert outs2[0].shape == (12, 24, 3)
