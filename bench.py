@@ -74,7 +74,7 @@ def main():
 
     T = cfg.dataset.max_motion_len
     prompts = ["a person walks forward and waves both hands"] * batch_size
-    token_ids = jnp.asarray(mld.tokenizer(prompts))
+    token_ids = mld.tokenize(prompts)
     lengths = jnp.asarray(
         np.random.RandomState(0).randint(64, T + 1, batch_size))
     mask = lengths_to_mask(lengths, T)

@@ -33,6 +33,22 @@ def quick_gelu(x):
     return x * nn.sigmoid(1.702 * x)
 
 
+def _clip_use_flash() -> bool:
+    """Opt-in fused Pallas attention for the CLIP tower (default OFF).
+
+    Measured on TPU v5e at B=128/S=77 the fused kernel LOSES to the XLA
+    einsum path (21.3 ms vs 13.2 ms full tower, docs/bench_clip_flash_r4
+    .json): Mosaic's mandatory 77->128 / 64->128 lane padding does ~5.5x
+    the real FLOPs, which outweighs keeping the score tensor in VMEM.
+    The production fix is upstream instead: serving crops token ids to
+    EOT buckets (ClipTokenizer buckets=...), which shrinks the score
+    tensor at the source. MLD_TPU_CLIP_FLASH=1 forces the kernel on
+    (interpret mode off-TPU, for parity tests).
+    """
+    return os.environ.get("MLD_TPU_CLIP_FLASH", "0") not in (
+        "0", "false", "off", "auto")
+
+
 class ClipAttention(nn.Module):
     width: int
     heads: int
@@ -51,11 +67,15 @@ class ClipAttention(nn.Module):
         def split(t):
             return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k),
-                            preferred_element_type=jnp.float32)
-        scores = scores + causal_mask.astype(jnp.float32)
-        probs = nn.softmax(scores, axis=-1).astype(dt)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
+        if _clip_use_flash():
+            from mld_tpu.ops.attention import flash_causal_sdpa
+            out = flash_causal_sdpa(split(q), split(k), split(v), 1.0)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k),
+                                preferred_element_type=jnp.float32)
+            scores = scores + causal_mask.astype(jnp.float32)
+            probs = nn.softmax(scores, axis=-1).astype(dt)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         return nn.Dense(D, dtype=dt, name="out_proj")(out)
 
@@ -205,18 +225,39 @@ class ClipTokenizer:
     def is_exact(self) -> bool:
         return self._hf is not None
 
-    def __call__(self, texts: List[str]) -> np.ndarray:
-        """-> int32 [B, context_length], padded (HF pads with EOS for CLIP)."""
+    def __call__(self, texts: List[str],
+                 buckets: Optional[tuple] = None) -> np.ndarray:
+        """-> int32 [B, L], padded (HF pads with EOS for CLIP).
+
+        L is `context_length` (77) by default. With `buckets`, L is the
+        smallest bucket that still contains every row's EOT token: under
+        causal attention + EOT pooling the trailing pad columns are inert
+        (masked to exp(-1e9)=0 in f32 softmax), so cropping is EXACT for
+        the pooled/"features" modes while cutting the tower's FLOPs by
+        L/77 (attention by (L/77)^2) — the measured serving bottleneck
+        (docs/ROOFLINE.md:31-39). Do NOT use buckets for "hidden" mode:
+        there the denoiser conditions on all 77 hidden states.
+        """
         if self._hf is not None:
             enc = self._hf(texts, padding="max_length", truncation=True,
                            max_length=self.context_length, return_tensors="np")
-            return enc["input_ids"].astype(np.int32)
-        out = np.full((len(texts), self.context_length), CLIP_EOS, np.int32)
-        for i, text in enumerate(texts):
-            words = self._word_re.findall(text.lower())[: self.context_length - 2]
-            ids = [CLIP_BOS] + [
-                (hash(w) % (CLIP_BOS - 1)) + 1 for w in words] + [CLIP_EOS]
-            out[i, : len(ids)] = ids
+            out = enc["input_ids"].astype(np.int32)
+        else:
+            out = np.full((len(texts), self.context_length), CLIP_EOS,
+                          np.int32)
+            for i, text in enumerate(texts):
+                words = self._word_re.findall(
+                    text.lower())[: self.context_length - 2]
+                ids = [CLIP_BOS] + [
+                    (hash(w) % (CLIP_BOS - 1)) + 1 for w in words] + [CLIP_EOS]
+                out[i, : len(ids)] = ids
+        if buckets:
+            # EOS is the largest vocab id and pad == EOS, so argmax finds
+            # the first EOS = the EOT position (same rule the pooling uses)
+            eot_max = int(out.argmax(axis=-1).max())
+            L = next((b for b in sorted(buckets) if b > eot_max),
+                     self.context_length)
+            out = out[:, :L]
         return out
 
 

@@ -140,7 +140,13 @@ class MLD:
                                       compute_dtype=m.clip_compute_dtype)
             self.clip_mode = "hidden" if m.clip_last_hidden else "features"
             self.tokenizer = ClipTokenizer(m.clip_path)
-            self.uncond_ids = jnp.asarray(self.tokenizer([""]))
+            # features mode: the empty prompt is [BOS, EOS, pad...] — under
+            # causal attention + EOT pooling only the first 2 positions
+            # matter, so the uncond row is encoded at context 8 (exact;
+            # see ClipTokenizer.__call__ buckets doc)
+            full = jnp.asarray(self.tokenizer([""]))
+            self.uncond_ids = (full[:, :8] if self.clip_mode == "features"
+                               else full)
         else:
             self.clip = None
 
@@ -184,7 +190,8 @@ class MLD:
                 out = out[:, None, :]
             return out
 
-        chunk = self._clip_chunk(token_ids.shape[0]) if serving else 0
+        chunk = (self._clip_chunk(token_ids.shape[0], token_ids.shape[1])
+                 if serving else 0)
         if chunk:
             # same trick as _decode_chunk: the [B,12,77,77] attention
             # working set falls out of VMEM at large B; lax.map over
@@ -196,7 +203,7 @@ class MLD:
             return out.reshape(n * chunk, *out.shape[2:])
         return run(token_ids)
 
-    def _clip_chunk(self, batch: int) -> int:
+    def _clip_chunk(self, batch: int, seq: int = 77) -> int:
         """Chunk size for the serving-time CLIP pass (0 = no chunking).
         Override with MLD_TPU_CLIP_CHUNK=<int|0|auto>."""
         import os
@@ -210,13 +217,36 @@ class MLD:
                       and jax.device_count() == 1)
         except Exception:  # pragma: no cover
             on_tpu = False
-        if on_tpu and batch >= 128 and batch % 32 == 0:
+        # the chunking win was measured for the full-context score tensor
+        # ([B,12,77,77] out of VMEM, docs/bench_clip_chunk_r3.json); at
+        # EOT-bucketed lengths the working set is (S/77)^2 smaller and
+        # lax.map dispatch overhead dominates
+        if on_tpu and batch >= 128 and batch % 32 == 0 and seq >= 48:
             return 32
         return 0
 
+    def tokenize(self, texts):
+        """Serving-path tokenization: EOT-bucketed ids in features mode.
+
+        Under causal attention + EOT pooling, cropping the pad columns is
+        mathematically exact (ClipTokenizer.__call__ doc) and cuts the CLIP
+        tower — the measured 39%-of-wall-clock serving stage
+        (docs/ROOFLINE.md:31-39) — to L/77 of its FLOPs. Each distinct
+        bucket compiles one program variant; the default ladder keeps that
+        to a handful. Hidden mode conditions the denoiser on all 77 hidden
+        states, so there ids stay full-context. Env override:
+        MLD_TPU_TEXT_BUCKETS="16,32,77" or "0" to disable.
+        """
+        import os
+        flag = os.environ.get("MLD_TPU_TEXT_BUCKETS", "auto")
+        if self.clip_mode != "features" or flag in ("0", "off"):
+            return jnp.asarray(self.tokenizer(texts))
+        buckets = ((16, 24, 32, 48, 64) if flag == "auto" else
+                   tuple(int(b) for b in flag.split(",") if int(b) > 0))
+        return jnp.asarray(self.tokenizer(texts, buckets=buckets))
+
     def encode_text(self, params, texts):
-        return self.encode_text_tokens(params,
-                                       jnp.asarray(self.tokenizer(texts)))
+        return self.encode_text_tokens(params, self.tokenize(texts))
 
     # ----------------------------------------------------------------- stages
     def encode_motion(self, params, feats, mask, rng=None, sample_mean=False,
@@ -493,7 +523,7 @@ class MLD:
         """Host convenience wrapper: list[str] + list[int] -> list of
         [len, J, 3] numpy arrays (remove_padding semantics)."""
         mask = lengths_to_mask(jnp.asarray(lengths), self.max_frames)
-        token_ids = jnp.asarray(self.tokenizer(texts))
+        token_ids = self.tokenize(texts)
         joints = self.generate_joints(params, token_ids, mask, rng)
         joints = np.asarray(joints)
         return [joints[i, : int(l)] for i, l in enumerate(lengths)]

@@ -184,6 +184,123 @@ def _sdpa_pallas_bwd(res, g):
 _sdpa_pallas_ad.defvjp(_sdpa_pallas_fwd, _sdpa_pallas_bwd)
 
 
+# ----------------------------------------------- fused causal MHA (CLIP)
+def _flash_causal_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
+    """All heads of G examples: causal attention entirely in VMEM.
+
+    Blocks are [G, H, Sp, Dp] with S and Dh zero-padded to 128 lanes.
+    The causal mask alone also masks the padded key columns: every real
+    query row i < S_real only attends columns j <= i < S_real, and the
+    padded query rows are sliced off by the wrapper. f32 scores/softmax,
+    matching the XLA path in models/clip_text.py:54-58.
+    """
+    G, H, Sp, _ = q_ref.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (Sp, Sp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Sp), 1)
+    neg = jnp.where(col > row, NEG_INF, 0.0).astype(jnp.float32)
+    # in-kernel dots inherit the GLOBAL jax_default_matmul_precision and
+    # Mosaic rejects HIGH — pin per-dtype like ops/fused_layer._mm
+    prec = (jax.lax.Precision.DEFAULT if q_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    for g in range(G):
+        for h in range(H):
+            q = q_ref[g, h]
+            k = k_ref[g, h]
+            v = v_ref[g, h]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32) * sm_scale + neg
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[g, h] = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "block_b", "interpret"))
+def sdpa_flash_causal(q, k, v, sm_scale: float = 1.0, block_b: int = 0,
+                      interpret: bool = False):
+    """Fused causal attention for medium sequences (the CLIP text tower).
+
+    q/k/v: [B, H, S, Dh]; returns [B, H, S, Dh]. One pallas_call keeps the
+    [B, H, S, S] score tensor out of HBM entirely — at CLIP serving shapes
+    (B=128, H=12, S=77 f32 scores = 36 MB) the XLA program spills it, which
+    is the measured ~1/3-of-roofline CLIP stage (docs/ROOFLINE.md:31-39).
+    Causal-mask-only semantics (HF CLIPTextModel behavior the einsum path
+    replicates); padded key columns are unreachable under the causal mask.
+    """
+    B, H, S, Dh = q.shape
+    sp = _round_up(max(S, 128), 128)
+    dp = _round_up(max(Dh, 128), 128)
+    if block_b <= 0:
+        block_b = int(_os.environ.get("MLD_TPU_FLASH_BLOCK_B", "1"))
+    while B % block_b:
+        block_b //= 2
+    block_b = max(block_b, 1)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, sp - S), (0, dp - Dh)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    spec = pl.BlockSpec((block_b, H, sp, dp), lambda i: (i, 0, 0, 0))
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_flash_causal_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((B, H, sp, dp), q.dtype),
+        grid=(B // block_b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * sp * sp * dp,
+            bytes_accessed=q.dtype.itemsize * 4 * B * H * sp * dp,
+            transcendentals=B * H * sp * sp,
+        ),
+        **kwargs,
+    )(qp, kp, vp)
+    return out[:, :, :S, :Dh]
+
+
+# CLIP is frozen, so no gradient should ever flow through this kernel —
+# but a stray differentiable use must not crash: route the (recomputed)
+# backward through the XLA formulation, like _sdpa_pallas_ad above.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_causal_sdpa(q, k, v, sm_scale: float = 1.0):
+    return sdpa_flash_causal(q, k, v, sm_scale=sm_scale,
+                             interpret=not _on_tpu())
+
+
+def _xla_causal_ref(q, k, v, sm_scale):
+    S = q.shape[2]
+    neg = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        > jax.lax.broadcasted_iota(jnp.int32, (S, S), 0), NEG_INF, 0.0)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale + neg
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _flash_causal_fwd(q, k, v, sm_scale):
+    return flash_causal_sdpa(q, k, v, sm_scale), (q, k, v)
+
+
+def _flash_causal_bwd(sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_causal_ref(q_, k_, v_,
+                                                        sm_scale), q, k, v)
+    return vjp(g)
+
+
+flash_causal_sdpa.defvjp(_flash_causal_fwd, _flash_causal_bwd)
+
+
 def sdpa(q, k, v, key_valid=None, use_pallas: Optional[bool] = None,
          dropout_rate: float = 0.0,
          dropout_rng: Optional[jax.Array] = None):

@@ -166,10 +166,12 @@ def diffusion_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
         # train step (the chunking win was measured for serving only)
         cond = mld.encode_text_tokens(params, batch["text_ids"],
                                       serving=False)
-        uncond = mld.encode_text_tokens(
-            params, jnp.broadcast_to(mld.uncond_ids,
-                                     batch["text_ids"].shape),
-            serving=False)
+        # the uncond embedding is prompt-independent: encode the ONE
+        # stored row (context-8 in features mode, mld.py:143-149) and
+        # broadcast the embedding, exactly like serving's _generate_impl
+        uncond = jnp.broadcast_to(
+            mld.encode_text_tokens(params, mld.uncond_ids, serving=False),
+            cond.shape)
         drop = jax.random.bernoulli(
             rng_drop, mld.cfg.model.guidance_uncondp, (B, 1, 1))
         cond_emb = jnp.where(drop, uncond, cond)

@@ -67,13 +67,16 @@ class BatchedSMPLFitter:
     def __init__(self, smpl_path: Optional[str] = None,
                  num_steps: int = 300, lr: float = 0.03,
                  w_smooth: float = 1.0, w_reg: float = 1e-3,
-                 gmm_path: Optional[str] = None, w_prior: float = 1e-4):
+                 gmm_path: Optional[str] = None, w_prior: float = 1e-4,
+                 polish_steps: int = 25, polish_anchor: float = 1e-4):
         self.smpl = SMPLLayer(smpl_path)
         self.num_steps = num_steps
         self.lr = lr
         self.w_smooth = w_smooth
         self.w_reg = w_reg
         self.w_prior = w_prior
+        self.polish_steps = polish_steps
+        self.polish_anchor = polish_anchor
         if gmm_path is None and smpl_path:
             gmm_path = os.path.join(os.path.dirname(smpl_path), "gmm_08.pkl")
         self.prior = GMMPosePrior(gmm_path)
@@ -122,7 +125,69 @@ class BatchedSMPLFitter:
 
         (params, _), losses = jax.lax.scan(
             step, (params, opt_state), None, length=self.num_steps)
+        if self.polish_steps > 0:
+            params = self._polish(params, target_joints[:, :_N_FIT_JOINTS])
         return params, losses
+
+    # ------------------------------------------------- second-order polish
+    def _frame_residual(self, p, target, p0):
+        """Per-frame residual vector for Gauss-Newton.
+
+        p: [147] = rot6d (24*6) + trans (3). Residuals are the 66 joint
+        errors plus a weak anchor to the Adam iterate p0 — the anchor
+        both regularizes the underdetermined dims (e.g. hand joints that
+        no target constrains) and preserves the smoothness the first
+        phase optimized for.
+        """
+        rot6d = p[: SMPL_NUM_JOINTS * 6].reshape(SMPL_NUM_JOINTS, 6)
+        trans = p[SMPL_NUM_JOINTS * 6:]
+        joints = self.smpl.joints(rot6d[None], trans[None])[0]
+        data = (joints[:_N_FIT_JOINTS] - target).reshape(-1)
+        anchor = jnp.sqrt(self.polish_anchor) * (p - p0)
+        return jnp.concatenate([data, anchor])
+
+    def _polish(self, params, targets):
+        """Per-frame Levenberg-Marquardt on the Adam iterate.
+
+        The reference reaches ~0.0022 MPJPE with per-frame strong-Wolfe
+        LBFGS at ~480 ms/frame (fit.py:191-277, smplify.py:218-245);
+        first-order Adam plateaus ~2.5x above it
+        (docs/fit_quality_r3.json). This closes the gap with a
+        curvature step: all frames' [147-param] Gauss-Newton subproblems
+        are solved simultaneously (vmapped [147,147] Cholesky solves —
+        microseconds on the MXU), with the classic multiplicative
+        trust-region lambda carried per frame.
+        """
+        T = params["trans"].shape[0]
+        p0 = jnp.concatenate(
+            [params["rot6d"].reshape(T, -1), params["trans"]], -1)
+
+        def one_frame(p_init, target):
+            def cost(p):
+                r = self._frame_residual(p, target, p_init)
+                return jnp.sum(r * r)
+
+            def step(carry, _):
+                p, lam = carry
+                r = self._frame_residual(p, target, p_init)
+                J = jax.jacfwd(self._frame_residual)(p, target, p_init)
+                H = J.T @ J + lam * jnp.eye(p.shape[0])
+                g = J.T @ r
+                delta = jax.scipy.linalg.solve(H, g, assume_a="pos")
+                p_new = p - delta
+                better = cost(p_new) < cost(p)
+                p = jnp.where(better, p_new, p)
+                lam = jnp.where(better, lam * 0.5, lam * 2.5)
+                return (p, lam), None
+
+            (p, _), _ = jax.lax.scan(step, (p_init, 1e-3), None,
+                                     length=self.polish_steps)
+            return p
+
+        p = jax.vmap(one_frame)(p0, targets)
+        return {"rot6d": p[:, : SMPL_NUM_JOINTS * 6].reshape(
+                    T, SMPL_NUM_JOINTS, 6),
+                "trans": p[:, SMPL_NUM_JOINTS * 6:]}
 
     def fit(self, joints: np.ndarray) -> Dict[str, np.ndarray]:
         """joints [T, J>=22, 3] -> {rot6d [T, 24, 6], trans [T, 3],

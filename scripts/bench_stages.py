@@ -78,7 +78,7 @@ def main():
     lengths = jnp.asarray(rs.randint(40, T + 1, B))
     mask = lengths_to_mask(lengths, T)
     prompts = ["a person walks forward and waves both hands"] * B
-    token_ids = jnp.asarray(mld.tokenizer(prompts))
+    token_ids = mld.tokenize(prompts)
     rng = jax.random.PRNGKey(7)
 
     # ---- stage programs ----

@@ -137,6 +137,9 @@ def main():
                    default="deps/smpl_models/smpl/SMPL_NEUTRAL.pkl")
     p.add_argument("--lbfgs-iters", type=int, default=100,
                    help="LBFGS max_iter per frame (reference num_iters)")
+    p.add_argument("--polish-steps", type=int, default=25,
+                   help="LM polish iterations (transforms/fitting.py "
+                        "_polish; 0 = adam only)")
     p.add_argument("--out", default="fit_quality_report.json")
     args = p.parse_args()
 
@@ -148,7 +151,10 @@ def main():
     # priors carry signal; on noiseless synthetic GT they bias the fit
     # (probed: ws=1.0 -> 1.8 cm MPJPE, ws=0.02 -> 0.48 cm, = the LBFGS arm)
     fitter = BatchedSMPLFitter(args.smpl, num_steps=args.steps, lr=0.05,
-                               w_smooth=0.02, w_reg=1e-5)
+                               w_smooth=0.02, w_reg=1e-5, polish_steps=0)
+    polished = BatchedSMPLFitter(args.smpl, num_steps=args.steps, lr=0.05,
+                                 w_smooth=0.02, w_reg=1e-5,
+                                 polish_steps=args.polish_steps)
     lbfgs = TorchLBFGSFitter(np.asarray(fitter.smpl.joints_rest),
                              fitter.smpl.parents,
                              num_iters=args.lbfgs_iters)
@@ -165,11 +171,17 @@ def main():
         dt = time.time() - t0
 
         t0 = time.time()
+        res_pol = polished.fit(joints_gt)
+        dt_pol = time.time() - t0
+
+        t0 = time.time()
         joints_lbfgs = lbfgs.fit(joints_gt)
         dt_lbfgs = time.time() - t0
 
         mpjpe = float(np.linalg.norm(
             res["joints_fit"] - joints_gt, axis=-1).mean())
+        mpjpe_pol = float(np.linalg.norm(
+            res_pol["joints_fit"] - joints_gt, axis=-1).mean())
         mpjpe_lbfgs = float(np.linalg.norm(
             joints_lbfgs - joints_gt, axis=-1).mean())
         # scale-free baseline: error of a static rest-pose "fit"
@@ -184,6 +196,9 @@ def main():
         rows.append({
             "clip": c, "frames": args.frames,
             "mpjpe_fit": mpjpe,
+            "mpjpe_polished": mpjpe_pol,
+            "seconds_polished": dt_pol,
+            "ms_per_frame_polished": 1e3 * dt_pol / args.frames,
             "mpjpe_lbfgs": mpjpe_lbfgs,
             "mpjpe_rest_baseline": rest_err,
             "error_reduction": 1.0 - mpjpe / max(rest_err, 1e-9),
@@ -194,6 +209,8 @@ def main():
         })
         print(f"clip {c}: adam MPJPE {mpjpe:.4f} "
               f"({rows[-1]['ms_per_frame']:.1f} ms/frame) | "
+              f"adam+LM MPJPE {mpjpe_pol:.4f} "
+              f"({rows[-1]['ms_per_frame_polished']:.1f} ms/frame) | "
               f"lbfgs MPJPE {mpjpe_lbfgs:.4f} "
               f"({rows[-1]['ms_per_frame_lbfgs']:.1f} ms/frame) | "
               f"rest baseline {rest_err:.4f}")
@@ -217,9 +234,14 @@ def main():
         "lbfgs_arm": "TorchLBFGSFitter (per-frame strong-Wolfe LBFGS + "
                      "warm start, reference smplify.py:218-245 design)",
         "lbfgs_iters": args.lbfgs_iters,
+        "polish_steps": args.polish_steps,
         "mean_mpjpe": float(np.mean([r["mpjpe_fit"] for r in rows])),
         "mean_ms_per_frame": float(np.mean([r["ms_per_frame"]
                                             for r in rows])),
+        "mean_mpjpe_polished": float(np.mean(
+            [r["mpjpe_polished"] for r in rows])),
+        "mean_ms_per_frame_polished": float(np.mean(
+            [r["ms_per_frame_polished"] for r in rows])),
         "mean_mpjpe_lbfgs": float(np.mean([r["mpjpe_lbfgs"]
                                            for r in rows])),
         "mean_ms_per_frame_lbfgs": float(np.mean(

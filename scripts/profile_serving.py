@@ -80,8 +80,8 @@ def main():
     rs = np.random.RandomState(0)
     lengths = jnp.asarray(rs.randint(40, T + 1, B))
     mask = lengths_to_mask(lengths, T)
-    token_ids = jnp.asarray(mld.tokenizer(
-        ["a person walks forward and waves both hands"] * B))
+    token_ids = mld.tokenize(
+        ["a person walks forward and waves both hands"] * B)
     rng = jax.random.PRNGKey(7)
 
     if args.stage == "decode":

@@ -118,7 +118,9 @@ def main():
     T = cfg.dataset.max_motion_len
     mask = lengths_to_mask(jnp.full((B,), T), T)
     ids = jnp.asarray(mld.tokenizer(args.texts))
-    uncond = jnp.broadcast_to(mld.uncond_ids, ids.shape)
+    # full-context uncond row (mld.uncond_ids is EOT-cropped for serving
+    # and cannot concatenate with 77-token ids)
+    uncond = jnp.broadcast_to(jnp.asarray(mld.tokenizer([""])), ids.shape)
     cond = mld.encode_text_tokens(params, jnp.concatenate([uncond, ids])
                                   if mld.do_cfg else ids)
     traj = diffusion_reverse_trajectory(mld, params, cond, mask,

@@ -79,3 +79,69 @@ class TestTokenizer:
         tok = ClipTokenizer(None)
         ids = tok([""])
         assert ids[0, 0] == CLIP_BOS and ids[0, 1] == CLIP_EOS
+
+    def test_bucketed_crop(self):
+        tok = ClipTokenizer(None)
+        texts = ["a person walks forward", "spins twice"]
+        full = tok(texts)
+        ids = tok(texts, buckets=(16, 24, 32, 48, 64))
+        assert ids.shape[1] == 16
+        np.testing.assert_array_equal(ids, full[:, :16])
+        # a long caption overflows the small buckets
+        long = ["word " * 60]
+        assert tok(long, buckets=(16,)).shape[1] == 77
+
+
+class TestBucketedServingExactness:
+    """EOT-cropped serving ids must give the SAME pooled embedding
+    (causal attention + EOT pooling make pad columns inert — the claim
+    behind MLD.tokenize / ClipTokenizer buckets)."""
+
+    def test_pooled_matches_full_context(self):
+        model = ClipTextModel(vocab_size=1000, width=64, layers=2, heads=4,
+                              projection_dim=64, intermediate_size=128)
+        rng = np.random.RandomState(1)
+        full = np.full((3, 77), 999, np.int64)  # EOS-padded
+        for i, L in enumerate((5, 12, 20)):
+            full[i, 0] = 998
+            full[i, 1:L - 1] = rng.randint(1, 900, L - 2)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(full, jnp.int32))["params"]
+        for mode in ("pooled", "features"):
+            out_full = model.apply({"params": params},
+                                   jnp.asarray(full, jnp.int32), mode=mode)
+            out_crop = model.apply({"params": params},
+                                   jnp.asarray(full[:, :24], jnp.int32),
+                                   mode=mode)
+            np.testing.assert_allclose(np.asarray(out_crop),
+                                       np.asarray(out_full),
+                                       rtol=0, atol=2e-6)
+
+    def test_mld_generate_bucket_parity(self, monkeypatch):
+        """Full pipeline: bucketed ids -> same motions as 77-context ids."""
+        from mld_tpu.config import load_config
+        from mld_tpu.models.mld import MLD, lengths_to_mask
+
+        cfg = load_config(preset="mld_humanml3d", overrides={
+            "model": {"latent_dim": 32, "ff_size": 64, "num_layers": 3,
+                      "denoiser_num_layers": 3, "num_heads": 4,
+                      "text_encoded_dim": 32, "clip_layers": 2,
+                      "clip_heads": 2,
+                      "scheduler": {"num_inference_timesteps": 5}},
+            "dataset": {"max_motion_len": 48}})
+        mld = MLD(cfg)
+        assert mld.clip_mode == "features"
+        params = mld.init_params(jax.random.PRNGKey(0))
+        texts = ["walk", "jump high"]
+        mask = lengths_to_mask(jnp.asarray([32, 48]), mld.max_frames)
+        rng = jax.random.PRNGKey(3)
+
+        ids_b = mld.tokenize(texts)
+        assert ids_b.shape[1] < 77
+        out_b = np.asarray(mld.generate_joints(params, ids_b, mask, rng))
+
+        monkeypatch.setenv("MLD_TPU_TEXT_BUCKETS", "0")
+        ids_f = mld.tokenize(texts)
+        assert ids_f.shape[1] == 77
+        out_f = np.asarray(mld.generate_joints(params, ids_f, mask, rng))
+        np.testing.assert_allclose(out_b, out_f, rtol=0, atol=2e-5)
