@@ -135,6 +135,13 @@ class TrainConfig:
     # 8 on single-device TPU (the tunnel's ~100ms dispatch + serialized
     # H2D otherwise dominates the loop), 1 elsewhere
     steps_per_dispatch: int = 0
+    # device-resident training corpus: whole split in HBM with on-device
+    # batch sampling fused into the train scan (data/device_dataset.py).
+    # "auto" = on for single-device TPU runs when the corpus fits
+    # (<= device_data_max_gb), "on"/"off" force it. Replaces the host
+    # input pipeline in the steady-state loop (one PRNG key per dispatch)
+    device_data: str = "auto"
+    device_data_max_gb: float = 8.0
 
 
 @dataclass

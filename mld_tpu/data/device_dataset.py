@@ -32,12 +32,22 @@ import numpy as np
 
 
 def sample_batch(arrays: Dict, rng, batch_size: int, unit: int,
-                 max_len: int) -> Dict:
+                 max_len: int, impl: Optional[str] = None) -> Dict:
     """Pure jittable sampler: corpus arrays + key -> train batch.
 
     arrays: feats [N,T,F] (normalized, zero-padded), lengths [N] i32,
     text_ids [N,K,77] i32, n_caps [N] i32.
-    Returns {motion [B,T,F], mask [B,T] bool, text_ids [B,77]}.
+    Returns {motion [B,T,F], mask [B,T] bool, text_ids [B,T]}.
+
+    impl selects how the row-select + crop-shift is materialized:
+      "gather"   one fused [B,T] 2D gather
+      "shift_mm" contiguous axis-0 row take + the crop shift as a one-hot
+                 shift-matrix einsum on the MXU at f32/HIGHEST precision.
+                 Bit-exact ("gather" parity test in
+                 tests/test_data_training.py): a one-hot rhs is exact in
+                 its high bf16 split, so the multi-pass f32 product
+                 reproduces each row bit-for-bit.
+      None       auto by backend (scripts/bench_sampler.py measurements)
     """
     k_idx, k_cap, k_coin, k_start = jax.random.split(rng, 4)
     n = arrays["lengths"].shape[0]
@@ -52,11 +62,28 @@ def sample_batch(arrays: Dict, rng, batch_size: int, unit: int,
     start = jax.random.randint(k_start, (batch_size,), 0,
                                jnp.maximum(lengths - crop + 1, 1))
 
-    # one fused [B,T,F] gather (row select + crop shift): materializing
-    # rows[idx] first and take_along_axis-ing after doubles HBM traffic
-    t_idx = jnp.clip(start[:, None] + jnp.arange(max_len), 0, max_len - 1)
-    motion = arrays["feats"][idx[:, None], t_idx]     # [B, T, F]
-    mask = jnp.arange(max_len)[None, :] < crop[:, None]
+    if impl is None:
+        # measured on-chip (docs/bench_sampler_r4.json): standalone, the
+        # fused 2D gather is ~12 us/step at HumanML3D scale — faster than
+        # the shift-matmul alternative (14.8) and within noise of a
+        # no-sample scan. Env override for in-context A/B
+        # (scripts/bench_train.py --device-data)
+        import os
+        impl = os.environ.get("MLD_TPU_SAMPLER_IMPL", "gather")
+    t = jnp.arange(max_len)
+    if impl == "shift_mm":
+        rows = jnp.take(arrays["feats"], idx, axis=0)     # [B,T,F] contig
+        # crop shift as S[b,t,s] = (s == t + start[b]) on the MXU: TPU
+        # scattered-row gathers lower to a slow path at [B*T] ~1KB rows
+        shift = (t[None, None, :]
+                 == (t[None, :, None] + start[:, None, None]))
+        motion = jnp.einsum("bts,bsf->btf", shift.astype(jnp.float32),
+                            rows, precision=jax.lax.Precision.HIGHEST)
+    else:
+        # one fused [B,T,F] gather (row select + crop shift)
+        t_idx = jnp.clip(start[:, None] + t, 0, max_len - 1)
+        motion = arrays["feats"][idx[:, None], t_idx]     # [B, T, F]
+    mask = t[None, :] < crop[:, None]
     motion = motion * mask[..., None]
 
     cap = jax.random.randint(k_cap, (batch_size,), 0, arrays["n_caps"][idx])

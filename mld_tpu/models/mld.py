@@ -176,6 +176,29 @@ class MLD:
             params["clip"] = clip_params
         return params
 
+    # ------------------------------------------------------- stage precision
+    @staticmethod
+    def _stage_precision(stage: str):
+        """Trace-time matmul-precision scope for one serving stage.
+
+        MLD_TPU_STAGE_PRECISION="scan=highest,decode=highest" overlays the
+        session default per stage (stages: clip, scan, decode). Motivation
+        (docs/precision_report_r4.json): bf16-pass matmuls everywhere
+        shift FID ~13% on a trained model, but the shift lives in the
+        iterative scan + decode — which are latency-bound, so running
+        them at f32 is nearly free — while CLIP (94% of program FLOPs,
+        where bf16 buys the throughput) is a frozen feature extractor
+        whose output feeds a robust conditioning pathway."""
+        import contextlib
+        import os
+
+        spec = os.environ.get("MLD_TPU_STAGE_PRECISION", "")
+        for part in spec.split(","):
+            part = part.strip()
+            if part.startswith(stage + "="):
+                return jax.default_matmul_precision(part.split("=", 1)[1])
+        return contextlib.nullcontext()
+
     # --------------------------------------------------------------- text emb
     def encode_text_tokens(self, params, token_ids, serving: bool = True):
         """[B, 77] ids -> [B, S_text, text_dim] (jit-able).
@@ -192,16 +215,17 @@ class MLD:
 
         chunk = (self._clip_chunk(token_ids.shape[0], token_ids.shape[1])
                  if serving else 0)
-        if chunk:
-            # same trick as _decode_chunk: the [B,12,77,77] attention
-            # working set falls out of VMEM at large B; lax.map over
-            # batch chunks inside the program recovers small-batch
-            # efficiency bit-exactly (chunk sweep:
-            # docs/bench_clip_chunk_r3.json)
-            n = token_ids.shape[0] // chunk
-            out = jax.lax.map(run, token_ids.reshape(n, chunk, -1))
-            return out.reshape(n * chunk, *out.shape[2:])
-        return run(token_ids)
+        with self._stage_precision("clip"):
+            if chunk:
+                # same trick as _decode_chunk: the [B,12,77,77] attention
+                # working set falls out of VMEM at large B; lax.map over
+                # batch chunks inside the program recovers small-batch
+                # efficiency bit-exactly (chunk sweep:
+                # docs/bench_clip_chunk_r3.json)
+                n = token_ids.shape[0] // chunk
+                out = jax.lax.map(run, token_ids.reshape(n, chunk, -1))
+                return out.reshape(n * chunk, *out.shape[2:])
+            return run(token_ids)
 
     def _clip_chunk(self, batch: int, seq: int = 77) -> int:
         """Chunk size for the serving-time CLIP pass (0 = no chunking).
@@ -260,6 +284,10 @@ class MLD:
                               method=self.vae.encode, rngs=rngs)
 
     def decode_latent(self, params, z, mask, dropout_rng=None):
+        with self._stage_precision("decode"):
+            return self._decode_latent_impl(params, z, mask, dropout_rng)
+
+    def _decode_latent_impl(self, params, z, mask, dropout_rng=None):
         if dropout_rng is None and self._use_fused_decode():
             from mld_tpu.ops.fused_seq_decoder import fused_vae_decode
             m = self.cfg.model
@@ -439,7 +467,9 @@ class MLD:
             latents = self.scheduler.step(out, t, latents, noise)
             return latents, None
 
-        latents, _ = jax.lax.scan(body, latents, (timesteps, step_rngs))
+        with self._stage_precision("scan"):
+            latents, _ = jax.lax.scan(body, latents,
+                                      (timesteps, step_rngs))
         return latents
 
     def _generate_impl(self, params, token_ids_or_actions, mask, rng):

@@ -24,7 +24,9 @@ from mld_tpu.parallel.mesh import (
 from mld_tpu.train.steps import (
     create_train_state,
     full_params,
+    make_device_train_scan,
     make_eval_step,
+    make_train_scan,
     make_train_step,
 )
 from mld_tpu.utils.checkpoint import CheckpointManager
@@ -170,6 +172,37 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     train_scan = (make_train_scan(mld, stage, donate=True)
                   if spd > 1 else None)
 
+    # device-resident corpus: upload the whole train split to HBM once and
+    # fuse batch sampling into the K-step scan (data/device_dataset.py) —
+    # the steady-state loop then transfers one PRNG key per dispatch
+    device_ds = None
+    if (mesh is None and stage in ("vae", "diffusion", "vae_diffusion")
+            and cfg.train.device_data != "off"):
+        want = cfg.train.device_data == "on"
+        auto = (cfg.train.device_data == "auto"
+                and jax.default_backend() == "tpu")
+        if want or auto:
+            try:
+                dds = dm.device_dataset("train")
+            except (ValueError, KeyError, AttributeError, TypeError) as e:
+                if want:
+                    raise
+                logger.info(f"device_data auto-off: {e}")
+            else:
+                gb = dds.nbytes / 2**30
+                if want or gb <= cfg.train.device_data_max_gb:
+                    device_ds = dds
+                    logger.info(
+                        f"device-resident corpus: {len(dds)} clips, "
+                        f"{gb:.2f} GB in HBM, K={max(spd, 1)} "
+                        f"steps/dispatch")
+                else:
+                    logger.info(f"device_data auto-off: corpus {gb:.2f} GB "
+                                f"> max {cfg.train.device_data_max_gb} GB")
+    device_scan = (make_device_train_scan(mld, stage, cfg.train.batch_size,
+                                          donate=True)
+                   if device_ds is not None else None)
+
     loader = dm.loader("train", seed=cfg.train.seed, drop_last=True)
     val_loader = dm.loader("val", shuffle=False)
 
@@ -185,24 +218,40 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     step_count = 0
     for epoch in range(start_epoch, cfg.train.end_epoch):
         epoch_logs = []
-        for item in device_prefetch(loader, mesh, group=spd):
-            rng, srng = jax.random.split(rng)
-            if spd > 1:
-                kind, dbatch = item
-                if kind == "scan":
-                    state, logs = train_scan(state, dbatch, srng)
-                    step_count += int(
-                        jax.tree_util.tree_leaves(dbatch)[0].shape[0]) - 1
+        if device_ds is not None:
+            # iid sampling from HBM: an "epoch" is len(split)//B optimizer
+            # steps (same step budget as one host-loader pass)
+            steps_left = max(len(device_ds) // cfg.train.batch_size, 1)
+            if max_steps is not None:
+                steps_left = min(steps_left, max_steps - step_count)
+            while steps_left > 0:
+                k = min(max(spd, 1), steps_left)
+                rng, srng = jax.random.split(rng)
+                state, logs = device_scan(state, device_ds.arrays, srng, k)
+                epoch_logs.append(logs)
+                step_count += k
+                steps_left -= k
+        else:
+            for item in device_prefetch(loader, mesh, group=spd):
+                rng, srng = jax.random.split(rng)
+                if spd > 1:
+                    kind, dbatch = item
+                    if kind == "scan":
+                        state, logs = train_scan(state, dbatch, srng)
+                        step_count += int(
+                            jax.tree_util.tree_leaves(dbatch)[0].shape[0]
+                        ) - 1
+                    else:
+                        state, logs = train_step(state, dbatch, srng)
                 else:
-                    state, logs = train_step(state, dbatch, srng)
-            else:
-                state, logs = train_step(state, item, srng)
-            # keep logs as device arrays: float() here would block on the
-            # async dispatch every step and serialize host and device work
-            epoch_logs.append(logs)
-            step_count += 1
-            if max_steps is not None and step_count >= max_steps:
-                break
+                    state, logs = train_step(state, item, srng)
+                # keep logs as device arrays: float() here would block on
+                # the async dispatch every step and serialize host and
+                # device work
+                epoch_logs.append(logs)
+                step_count += 1
+                if max_steps is not None and step_count >= max_steps:
+                    break
         epoch_logs = jax.device_get(epoch_logs)
         # scan groups log (K,)-shaped entries, tail steps log scalars;
         # ravel before combining (also weights per-step correctly)

@@ -38,6 +38,10 @@ def main():
                    help="with --pipeline: corpus resident in HBM with "
                         "on-device sampling fused into the scan "
                         "(data/device_dataset.py) — no per-step H2D")
+    p.add_argument("--fixed-scan", action="store_true",
+                   help="K-step lax.scan over a PRE-STAGED device "
+                        "super-batch (no sampler, no loader): isolates "
+                        "scan-structure cost vs K independent dispatches")
     p.add_argument("--data-root", default="/tmp/mld_bench_data2k")
     p.add_argument("--dropout", type=float, default=None,
                    help="override model dropout (A/B the attention-prob "
@@ -81,6 +85,29 @@ def main():
         "text_ids": jnp.asarray(mld.tokenizer(["a person walks"] * B)),
     }
     key = jax.random.PRNGKey(1)
+    if args.fixed_scan:
+        from mld_tpu.train.steps import make_train_scan
+        K = max(args.spd, 2)
+        batches = {k: jnp.broadcast_to(v, (K,) + v.shape)
+                   for k, v in batch.items()}
+        scan = make_train_scan(mld, args.stage, donate=True)
+        state, logs = scan(state, batches, key)  # compile
+        np.asarray(logs["total"])
+        start = time.perf_counter()
+        n = 0
+        while n < args.iters:
+            state, logs = scan(state, batches, jax.random.PRNGKey(n))
+            n += K
+        np.asarray(logs["total"])
+        elapsed = time.perf_counter() - start
+        steps_per_sec = n / elapsed
+        print(json.dumps({
+            "metric": f"{args.stage}_train_fixedscan_throughput",
+            "value": round(steps_per_sec, 3),
+            "unit": "steps/sec/chip", "batch_size": args.batch, "spd": K,
+            "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
+        }))
+        return
     state, logs = step(state, batch, key)  # compile
     np.asarray(logs["total"])              # real barrier (tunneled platform)
 

@@ -35,7 +35,11 @@ cfg = load_config(None, {
               "scheduler": {"num_inference_timesteps": 10}},
     "dataset": {"root": %(data)r, "max_motion_len": 96,
                 "min_motion_len": 16},
-    "eval": {"batch_size": 16, "diversity_times": 8, "r_size": 4},
+    # reference-protocol eval shape (matches train_synthetic_e2e.py), with
+    # the TRAINED t2m evaluator bundle — random-init evaluators pin
+    # R-precision at chance and hide any precision-induced shift
+    "eval": {"batch_size": 32, "diversity_times": 30, "r_size": 32,
+             "t2m_params_path": %(t2m)r},
 }, preset="mld_humanml3d")
 mld = MLD(cfg)
 dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
@@ -51,13 +55,19 @@ print("RESULT_JSON:" + json.dumps({k: float(v) for k, v in res.items()}))
 """
 
 
-def run_eval(workdir: str, precision: str) -> dict:
+def run_eval(workdir: str, precision: str, stage_spec: str = "") -> dict:
     env = dict(os.environ)
     env["MLD_TPU_MATMUL_PRECISION"] = precision
+    if stage_spec:
+        env["MLD_TPU_STAGE_PRECISION"] = stage_spec
+    else:
+        env.pop("MLD_TPU_STAGE_PRECISION", None)
+    t2m = os.path.join(workdir, "t2m_eval_params.npz")
     code = _EVAL_CODE % {
         "repo": REPO,
         "data": os.path.join(workdir, "data"),
         "params": os.path.join(workdir, "trained_params.npz"),
+        "t2m": t2m if os.path.exists(t2m) else "",
     }
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=1700)
@@ -68,22 +78,48 @@ def run_eval(workdir: str, precision: str) -> dict:
     return json.loads(line[len("RESULT_JSON:"):])
 
 
+# arm -> (global precision, per-stage overlay). The three *_bf16 arms
+# attribute the full-bf16 FID shift to a single serving stage; the
+# serving_mixed arm is the proposed config: bf16 where the FLOPs are
+# (CLIP, 94% of the program) and f32 on the latency-bound iterative path
+ARMS = {
+    "highest": ("highest", ""),
+    "default": ("default", ""),
+    "clip_bf16": ("highest", "clip=default"),
+    "scan_bf16": ("highest", "scan=default"),
+    "decode_bf16": ("highest", "decode=default"),
+    "serving_mixed": ("default", "scan=highest,decode=highest"),
+}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", required=True)
+    p.add_argument("--arms", nargs="+", default=list(ARMS),
+                   choices=list(ARMS))
     p.add_argument("--out", default="precision_report.json")
     args = p.parse_args()
 
     report = {}
-    for prec in ("highest", "default"):
-        report[prec] = run_eval(args.workdir, prec)
-        print(f"{prec}: FID={report[prec]['FID']:.4f} "
-              f"Matching={report[prec]['Matching_score']:.4f}")
-    f32, bf16 = report["highest"], report["default"]
-    denom = max(abs(f32["FID"]), 1e-6)
-    report["fid_rel_delta"] = abs(bf16["FID"] - f32["FID"]) / denom
-    print(f"FID relative delta (bf16-pass vs f32): "
-          f"{report['fid_rel_delta'] * 100:.2f}%")
+    for arm in args.arms:
+        prec, spec = ARMS[arm]
+        report[arm] = run_eval(args.workdir, prec, spec)
+        report[arm]["_env"] = {"MLD_TPU_MATMUL_PRECISION": prec,
+                               "MLD_TPU_STAGE_PRECISION": spec}
+        print(f"{arm}: FID={report[arm]['FID']:.4f} "
+              f"Matching={report[arm]['Matching_score']:.4f}", flush=True)
+    if "highest" in report:
+        f32 = report["highest"]
+        denom = max(abs(f32["FID"]), 1e-6)
+        for arm in args.arms:
+            if arm == "highest":
+                continue
+            delta = abs(report[arm]["FID"] - f32["FID"]) / denom
+            report[arm]["fid_rel_delta_vs_f32"] = delta
+            print(f"FID relative delta ({arm} vs f32): {delta*100:.2f}%")
+        if "default" in report:  # backwards-compat field
+            report["fid_rel_delta"] = report["default"][
+                "fid_rel_delta_vs_f32"]
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
 

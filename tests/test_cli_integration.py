@@ -64,6 +64,34 @@ class TestTrainLoop:
         # resume runs without error
         train(cfg, max_steps=1, resume=True)
 
+    def test_train_loop_scan_dispatch(self, synth_root, tmp_path):
+        # spd>1 routes through make_train_scan inside train() — this path
+        # only activates on real TPU by default (auto K=8) and a missing
+        # import once survived the whole CPU suite; force it here
+        over = tiny_overrides(synth_root, tmp_path, "vae")
+        over["name"] = "itest_spd"
+        over["train"]["steps_per_dispatch"] = 2
+        cfg = load_config(None, over)
+        params = train(cfg, max_steps=5)
+        assert "vae" in params
+
+    def test_train_loop_device_data(self, synth_root, tmp_path):
+        # device-resident corpus path: HBM corpus + fused sampling scan
+        # replaces the host loader in the steady-state loop
+        over = tiny_overrides(synth_root, tmp_path, "vae")
+        over["name"] = "itest_devdata"
+        over["train"]["device_data"] = "on"
+        over["train"]["steps_per_dispatch"] = 2
+        cfg = load_config(None, over)
+        params = train(cfg, max_steps=5)
+        assert "vae" in params
+        mpath = os.path.join(str(tmp_path), "mld", "itest_devdata",
+                             "metrics.jsonl")
+        with open(mpath) as f:
+            recs = [json.loads(line) for line in f]
+        train_recs = [r for r in recs if r.get("split") == "train"]
+        assert train_recs and np.isfinite(train_recs[0]["total"])
+
     def test_npz_roundtrip(self, synth_root, tmp_path):
         cfg = load_config(None, tiny_overrides(synth_root, tmp_path, "vae"))
         mld = MLD(cfg)

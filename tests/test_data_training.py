@@ -229,6 +229,31 @@ class TestDeviceDataset:
         for row in ids:
             assert tuple(row) in pool
 
+    def test_sampler_impls_bit_exact(self, synth_root):
+        # "shift_mm" (TPU default: axis-0 take + one-hot shift einsum at
+        # f32/HIGHEST) must reproduce the "gather" path bit-for-bit —
+        # a one-hot rhs is exact in its high bf16 split
+        from mld_tpu.data.device_dataset import sample_batch
+        cfg = tiny_cfg(synth_root)
+        mld = MLD(cfg)
+        dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
+        dds = dm.device_dataset("train")
+        for seed in (0, 11):
+            rng = jax.random.PRNGKey(seed)
+            a = jax.jit(lambda ar, r: sample_batch(
+                ar, r, 16, cfg.dataset.unit_len,
+                cfg.dataset.max_motion_len, impl="gather"))(dds.arrays, rng)
+            b = jax.jit(lambda ar, r: sample_batch(
+                ar, r, 16, cfg.dataset.unit_len,
+                cfg.dataset.max_motion_len, impl="shift_mm"))(dds.arrays,
+                                                              rng)
+            np.testing.assert_array_equal(np.asarray(a["motion"]),
+                                          np.asarray(b["motion"]))
+            np.testing.assert_array_equal(np.asarray(a["mask"]),
+                                          np.asarray(b["mask"]))
+            np.testing.assert_array_equal(np.asarray(a["text_ids"]),
+                                          np.asarray(b["text_ids"]))
+
     def test_device_train_scan_runs_and_learns(self, synth_root):
         from mld_tpu.train.steps import make_device_train_scan
         cfg = tiny_cfg(synth_root)
