@@ -38,6 +38,10 @@ def main():
                    help="with --pipeline: corpus resident in HBM with "
                         "on-device sampling fused into the scan "
                         "(data/device_dataset.py) — no per-step H2D")
+    p.add_argument("--ab", action="store_true",
+                   help="with --pipeline: interleaved same-process A/B of "
+                        "the device-data scan vs the fixed-batch scan — "
+                        "immune to tunnel-session drift between runs")
     p.add_argument("--fixed-scan", action="store_true",
                    help="K-step lax.scan over a PRE-STAGED device "
                         "super-batch (no sampler, no loader): isolates "
@@ -168,6 +172,9 @@ def pipeline_bench(args, cfg):
     state = create_train_state(mld, params, args.stage)
     spd = max(1, args.spd)
 
+    if args.ab:
+        return ab_bench(args, cfg, mld, dm, params, spd)
+
     if args.device_data:
         from mld_tpu.train.steps import make_device_train_scan
         dds = dm.device_dataset("train")
@@ -241,6 +248,77 @@ def pipeline_bench(args, cfg):
         "prefetch": prefetch,
         "native_collate": dm.use_native,
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
+    }))
+
+
+def ab_bench(args, cfg, mld, dm, params, spd):
+    """Interleaved same-process A/B: device-data sampling scan vs the same
+    K-step scan over a pre-staged fixed super-batch. Alternating timed
+    segments make the comparison immune to the tunnel-session throughput
+    drift that makes separate runs incomparable (measured swings of ~40%
+    between sessions minutes apart)."""
+    import jax
+    import jax.numpy as jnp
+    from mld_tpu.train.steps import (create_train_state,
+                                     make_device_train_scan,
+                                     make_train_scan)
+
+    dds = dm.device_dataset("train")
+    B, T = args.batch, cfg.dataset.max_motion_len
+    rng_np = np.random.RandomState(0)
+    batch = {
+        "motion": jnp.asarray(rng_np.randn(B, T, cfg.dataset.nfeats),
+                              jnp.float32),
+        "mask": jnp.asarray(
+            np.arange(T)[None] < rng_np.randint(64, T + 1, (B, 1))),
+        "text_ids": jnp.asarray(mld.tokenizer(["a person walks"] * B)),
+    }
+    batches = {k: jnp.broadcast_to(v, (spd,) + v.shape)
+               for k, v in batch.items()}
+
+    # each arm gets its own param buffers: the states donate on every
+    # dispatch, and a shared pytree would be deleted under the other arm
+    state_a = create_train_state(
+        mld, jax.tree_util.tree_map(jnp.copy, params), args.stage)
+    state_b = create_train_state(
+        mld, jax.tree_util.tree_map(jnp.copy, params), args.stage)
+    dscan = make_device_train_scan(mld, args.stage, B, donate=True)
+    fscan = make_train_scan(mld, args.stage, donate=True)
+
+    def block(logs):
+        np.asarray(logs["total"])
+
+    rng = jax.random.PRNGKey(1)
+    state_a, logs = dscan(state_a, dds.arrays, rng, spd)   # compile A
+    block(logs)
+    state_b, logs = fscan(state_b, batches, rng)           # compile B
+    block(logs)
+
+    m = max(1, args.iters // (4 * spd))  # dispatches per timed segment
+    seg_a, seg_b = [], []
+    for rep in range(6):
+        for arm in ("a", "b"):
+            t0 = time.perf_counter()
+            for i in range(m):
+                rng, srng = jax.random.split(rng)
+                if arm == "a":
+                    state_a, logs = dscan(state_a, dds.arrays, srng, spd)
+                else:
+                    state_b, logs = fscan(state_b, batches, srng)
+            block(logs)
+            dt = time.perf_counter() - t0
+            (seg_a if arm == "a" else seg_b).append(m * spd / dt)
+    med_a, med_b = float(np.median(seg_a)), float(np.median(seg_b))
+    print(json.dumps({
+        "metric": f"{args.stage}_train_ab_devicedata_vs_fixedscan",
+        "device_data_steps_per_sec": round(med_a, 3),
+        "fixed_scan_steps_per_sec": round(med_b, 3),
+        "ratio": round(med_a / med_b, 4),
+        "segments_device": [round(x, 2) for x in seg_a],
+        "segments_fixed": [round(x, 2) for x in seg_b],
+        "batch_size": args.batch, "spd": spd,
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(med_a / REF_STEPS_PER_SEC, 3),
     }))
 
 
