@@ -15,12 +15,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Serving configuration: bf16-pass matmuls (XLA "default"). Validated on a
-# trained model: FID shift 2.49%, inside the 5% parity budget
-# (docs/precision_report_round1.json; scripts/precision_study.py).
-# Training/parity code paths keep full-f32 ("highest") as the library
-# default. Override with MLD_TPU_MATMUL_PRECISION=highest for ~1450/s f32.
+# Serving configuration: bf16-pass matmuls (XLA "default") where the FLOPs
+# are (the frozen CLIP tower, ~94% of program FLOPs), full-f32 on the
+# latency-bound DDIM scan + VAE decode. Basis: the r4 precision study on a
+# trained model (docs/precision_report_r4.json; scripts/precision_study.py)
+# — ALL-bf16 serving shifts FID 12.9%, outside the 5% parity budget, and
+# the per-stage arms localize the shift to scan+decode, where f32 is
+# nearly free. Training/parity code paths keep full-f32 ("highest") as the
+# library default. Override with MLD_TPU_MATMUL_PRECISION=highest
+# MLD_TPU_STAGE_PRECISION= for an all-f32 run.
 os.environ.setdefault("MLD_TPU_MATMUL_PRECISION", "default")
+os.environ.setdefault("MLD_TPU_STAGE_PRECISION",
+                      "scan=highest,decode=highest")
 
 import jax
 import jax.numpy as jnp
@@ -173,6 +179,7 @@ def main():
         "config": {
             "batch": batch_size, "iters": iters, "repeats": repeats,
             "precision": os.environ.get("MLD_TPU_MATMUL_PRECISION"),
+            "stage_precision": os.environ.get("MLD_TPU_STAGE_PRECISION"),
             "fused_denoiser": os.environ.get("MLD_TPU_FUSED_DENOISER",
                                              "auto"),
             "fused_decode": os.environ.get("MLD_TPU_FUSED_DECODE", "auto"),

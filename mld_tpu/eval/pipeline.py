@@ -72,14 +72,21 @@ class T2MEvaluatorBundle:
         self.params = params
 
     def motion_embedding(self, feats, m_lens):
-        mov = self.moveencoder.apply({"params": self.params["move"]},
-                                     feats[..., :-4])
-        return self.motionencoder.apply({"params": self.params["motion"]},
-                                        mov, m_lens)
+        # the measuring stick stays f32: serving-precision knobs
+        # (MLD_TPU_MATMUL_PRECISION / _STAGE_PRECISION) must only affect
+        # the generator under evaluation, never the evaluator networks —
+        # otherwise reported FID/R-precision deltas conflate the two
+        # (precision-study arms, scripts/precision_study.py)
+        with jax.default_matmul_precision("highest"):
+            mov = self.moveencoder.apply({"params": self.params["move"]},
+                                         feats[..., :-4])
+            return self.motionencoder.apply(
+                {"params": self.params["motion"]}, mov, m_lens)
 
     def text_embedding(self, word_embs, pos_ohot, text_lens):
-        return self.textencoder.apply({"params": self.params["text"]},
-                                      word_embs, pos_ohot, text_lens)
+        with jax.default_matmul_precision("highest"):
+            return self.textencoder.apply({"params": self.params["text"]},
+                                          word_embs, pos_ohot, text_lens)
 
 
 class Evaluator:

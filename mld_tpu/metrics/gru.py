@@ -38,10 +38,14 @@ class HUMANACTMetrics:
                 jax.random.PRNGKey(seed), jnp.zeros((1, 4, 72)),
                 jnp.ones((1,), jnp.int32))["params"]
         self.params = params
-        self._apply = jax.jit(
-            lambda m, l, rf: self.model.apply({"params": self.params}, m, l,
-                                              return_features=rf),
-            static_argnums=2)
+        def _pinned(m, l, rf):
+            # classifier stays f32 regardless of serving-precision knobs:
+            # the measuring stick must not move with the generator config
+            with jax.default_matmul_precision("highest"):
+                return self.model.apply({"params": self.params}, m, l,
+                                        return_features=rf)
+
+        self._apply = jax.jit(_pinned, static_argnums=2)
         self.reset()
 
     @classmethod

@@ -182,13 +182,14 @@ class MLD:
         """Trace-time matmul-precision scope for one serving stage.
 
         MLD_TPU_STAGE_PRECISION="scan=highest,decode=highest" overlays the
-        session default per stage (stages: clip, scan, decode). Motivation
-        (docs/precision_report_r4.json): bf16-pass matmuls everywhere
-        shift FID ~13% on a trained model, but the shift lives in the
-        iterative scan + decode — which are latency-bound, so running
-        them at f32 is nearly free — while CLIP (94% of program FLOPs,
-        where bf16 buys the throughput) is a frozen feature extractor
-        whose output feeds a robust conditioning pathway."""
+        session default per stage (stages: clip, scan, decode). Cost is
+        NOT free: f32 ("highest", ~6 bf16 MXU passes) measures ~3x on the
+        scan (9.8 -> 29.1 ms) and ~4x on the decode (7.0 -> 28.3 ms) at
+        B=128 (scripts/bench_stages.py, same-session A/B). Whether a stage
+        NEEDS it is a measured question — see the per-stage arms in
+        docs/precision_report_r4.json (scripts/precision_study.py), where
+        the evaluator networks are pinned f32 so the deltas attribute to
+        the generation stage alone."""
         import contextlib
         import os
 
@@ -357,7 +358,8 @@ class MLD:
         return can_fuse_decode(self.vae, self.latent_size)
 
     def denoise(self, params, sample, t, cond_emb, mask=None,
-                dropout_rng=None, cond_rng=None, training=False):
+                dropout_rng=None, cond_rng=None, training=False,
+                time_emb=None, cond_lat=None):
         if (not training and dropout_rng is None
                 and self._use_fused_denoiser()):
             from mld_tpu.ops.fused_denoiser import fused_denoiser_forward
@@ -372,7 +374,8 @@ class MLD:
                 latent_dim=m.latent_dim,
                 text_encoded_dim=m.text_encoded_dim,
                 condition=self.condition,
-                guidance_scale=self.guidance_scale, weight_dtype=wd)
+                guidance_scale=self.guidance_scale, weight_dtype=wd,
+                time_emb=time_emb, cond_lat=cond_lat)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
         return self.denoiser.apply({"params": params["denoiser"]}, sample, t,
                                    cond_emb, mask,
@@ -453,11 +456,16 @@ class MLD:
         mask2 = jnp.concatenate([mask, mask], 0) if self.do_cfg else mask
         is_ancestral = isinstance(self.scheduler, DDPMScheduler)
 
+        # step-invariant preamble hoisted out of the scan: the [n_steps, d]
+        # time-embedding table and the projected condition tokens are
+        # computed once instead of inside all 50 steps (the reference
+        # recomputes them per iteration, mld.py:323-346)
         def body(latents, inp):
-            t, srng = inp
+            t, srng, temb = inp
             model_in = (jnp.concatenate([latents, latents], 0)
                         if self.do_cfg else latents)
-            out = self.denoise(params, model_in, t, cond_emb, mask2)
+            out = self.denoise(params, model_in, t, cond_emb, mask2,
+                               time_emb=temb, cond_lat=cond_lat)
             if self.do_cfg:
                 out_uncond, out_text = jnp.split(out, 2, axis=0)
                 out = out_uncond + self.guidance_scale * (
@@ -468,8 +476,24 @@ class MLD:
             return latents, None
 
         with self._stage_precision("scan"):
+            # step-invariant preamble hoisted out of the scan: the
+            # [n_steps, d] time-embedding table and the projected condition
+            # tokens are computed once instead of inside all 50 steps (the
+            # reference recomputes them per iteration, mld.py:323-346);
+            # traced inside the scan precision scope so the hoisted math
+            # matches the inline path it replaces
+            time_tab = cond_lat = None
+            if self._use_fused_denoiser():
+                from mld_tpu.ops.fused_denoiser import precompute_cond
+                m = self.cfg.model
+                time_tab, cond_lat = precompute_cond(
+                    params["denoiser"], timesteps, cond_emb,
+                    latent_dim=m.latent_dim,
+                    text_encoded_dim=m.text_encoded_dim,
+                    condition=self.condition,
+                    guidance_scale=self.guidance_scale)
             latents, _ = jax.lax.scan(body, latents,
-                                      (timesteps, step_rngs))
+                                      (timesteps, step_rngs, time_tab))
         return latents
 
     def _generate_impl(self, params, token_ids_or_actions, mask, rng):

@@ -102,7 +102,13 @@ class STGCN:
         self.params = params
         self.num_class = num_class
         self.A = jnp.asarray(build_smpl_graph(strategy), jnp.float32)
-        self._apply = jax.jit(self._forward)
+        def _pinned(motion):
+            # evaluator network stays f32 regardless of serving-precision
+            # knobs (same contract as the t2m bundle, eval/pipeline.py)
+            with jax.default_matmul_precision("highest"):
+                return self._forward(motion)
+
+        self._apply = jax.jit(_pinned)
 
     def _forward(self, motion):
         """motion [N, V=24, C=6, T] (reference input layout) ->

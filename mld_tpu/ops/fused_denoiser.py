@@ -35,6 +35,51 @@ def can_fuse(denoiser, latent_size: int, cond_tokens: int) -> bool:
             and latent_size + 1 + cond_tokens <= MAX_S)
 
 
+def precompute_cond(params, timesteps, encoder_hidden_states, *,
+                    latent_dim: int, text_encoded_dim: int,
+                    condition: str = "text", guidance_scale: float = 7.5,
+                    flip_sin_to_cos: bool = True, freq_shift: float = 0.0,
+                    dtype=jnp.float32):
+    """Hoist the step-invariant denoiser preamble out of the sampling scan.
+
+    The timestep MLP depends only on t and the text/action projection only
+    on the prompt, yet the reference recomputes both inside every one of
+    the 50 reverse steps (mld_denoiser.py:149-179 called per iteration at
+    mld.py:323-346). Computing the whole [n_steps, d] time-embedding table
+    and the projected condition tokens ONCE before the scan removes
+    ~6 kernels per scan step at identical numerics.
+
+    Returns (time_emb_table [n_steps, latent_dim],
+             cond_lat [B, S_cond, latent_dim]).
+    """
+    proj_dim = text_encoded_dim if condition in ("text", "text_uncond") \
+        else latent_dim
+    t_sin = get_timestep_embedding(jnp.asarray(timesteps), proj_dim,
+                                   flip_sin_to_cos, freq_shift).astype(dtype)
+    te = params["time_embedding"]
+    h = _dense(te["linear_1"], t_sin)
+    h = h * (1.0 / (1.0 + jnp.exp(-h)))      # silu
+    time_tab = _dense(te["linear_2"], h)     # [n_steps, d]
+
+    if condition in ("text", "text_uncond"):
+        text_emb = encoder_hidden_states
+        if text_encoded_dim != latent_dim:
+            cond_lat = _dense(params["emb_proj"],
+                              jnp.maximum(text_emb, 0.0))
+        else:
+            cond_lat = text_emb
+    else:
+        table = params["emb_proj_action"]["action_embedding"]
+        ids = encoder_hidden_states.reshape(-1).astype(jnp.int32)
+        act = table[ids]
+        if guidance_scale > 1.0:
+            half = act.shape[0] // 2
+            is_uncond = (jnp.arange(act.shape[0]) < half)[:, None]
+            act = jnp.where(is_uncond, 0.0, act)
+        cond_lat = act[:, None, :]
+    return time_tab, cond_lat
+
+
 def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
                            *, num_heads: int, num_layers: int,
                            latent_dim: int, text_encoded_dim: int,
@@ -43,44 +88,53 @@ def fused_denoiser_forward(params, sample, timestep, encoder_hidden_states,
                            condition: str = "text",
                            guidance_scale: float = 7.5,
                            interpret=None,
-                           weight_dtype=None) -> jnp.ndarray:
+                           weight_dtype=None,
+                           time_emb=None, cond_lat=None) -> jnp.ndarray:
     """params: the MldDenoiser flax param tree. sample [B, L, D];
     encoder_hidden_states [B, S_text, text_dim] (text) or [B] ids (action).
-    Returns [B, L, D]."""
+    time_emb [d] / cond_lat [B, S_cond, d]: step-invariant preamble already
+    computed by precompute_cond (sampling-scan call sites) — both or
+    neither. Returns [B, L, D]."""
     B, L, D = sample.shape
 
-    # 1. timestep embedding (denoiser.py:149-152)
-    timesteps = jnp.broadcast_to(jnp.asarray(timestep), (B,))
-    proj_dim = text_encoded_dim if condition in ("text", "text_uncond") \
-        else latent_dim
-    t_sin = get_timestep_embedding(timesteps, proj_dim, flip_sin_to_cos,
-                                   freq_shift).astype(sample.dtype)
-    te = params["time_embedding"]
-    h = _dense(te["linear_1"], t_sin)
-    h = h * (1.0 / (1.0 + jnp.exp(-h)))      # silu
-    time_emb = _dense(te["linear_2"], h)[:, None, :]  # [B, 1, d]
-
-    # 2. condition tokens (denoiser.py:154-165)
-    if condition in ("text", "text_uncond"):
-        text_emb = encoder_hidden_states
-        if text_encoded_dim != latent_dim:
-            text_lat = _dense(params["emb_proj"],
-                              jnp.maximum(text_emb, 0.0))
-        else:
-            text_lat = text_emb
-        emb_latent = jnp.concatenate([time_emb, text_lat], axis=1)
+    if time_emb is not None:
+        time_emb = jnp.broadcast_to(
+            time_emb.astype(sample.dtype).reshape(1, 1, -1), (B, 1, D))
+        emb_latent = jnp.concatenate([time_emb, cond_lat], axis=1)
     else:
-        table = params["emb_proj_action"]["action_embedding"]
-        ids = encoder_hidden_states.reshape(-1).astype(jnp.int32)
-        act = table[ids]
-        if guidance_scale > 1.0:
-            # eval CFG masking: first half is the uncond half — only when
-            # the batch IS CFG-doubled (mirrors flax EmbedAction,
-            # models/denoiser.py:61-64); guidance<=1 batches are all real
-            half = act.shape[0] // 2
-            is_uncond = (jnp.arange(act.shape[0]) < half)[:, None]
-            act = jnp.where(is_uncond, 0.0, act)
-        emb_latent = jnp.concatenate([time_emb, act[:, None, :]], axis=1)
+        # 1. timestep embedding (denoiser.py:149-152)
+        timesteps = jnp.broadcast_to(jnp.asarray(timestep), (B,))
+        proj_dim = text_encoded_dim if condition in ("text", "text_uncond") \
+            else latent_dim
+        t_sin = get_timestep_embedding(timesteps, proj_dim, flip_sin_to_cos,
+                                       freq_shift).astype(sample.dtype)
+        te = params["time_embedding"]
+        h = _dense(te["linear_1"], t_sin)
+        h = h * (1.0 / (1.0 + jnp.exp(-h)))      # silu
+        time_emb = _dense(te["linear_2"], h)[:, None, :]  # [B, 1, d]
+
+        # 2. condition tokens (denoiser.py:154-165)
+        if condition in ("text", "text_uncond"):
+            text_emb = encoder_hidden_states
+            if text_encoded_dim != latent_dim:
+                text_lat = _dense(params["emb_proj"],
+                                  jnp.maximum(text_emb, 0.0))
+            else:
+                text_lat = text_emb
+            emb_latent = jnp.concatenate([time_emb, text_lat], axis=1)
+        else:
+            table = params["emb_proj_action"]["action_embedding"]
+            ids = encoder_hidden_states.reshape(-1).astype(jnp.int32)
+            act = table[ids]
+            if guidance_scale > 1.0:
+                # eval CFG masking: first half is the uncond half — only
+                # when the batch IS CFG-doubled (mirrors flax EmbedAction,
+                # models/denoiser.py:61-64); guidance<=1 batches are real
+                half = act.shape[0] // 2
+                is_uncond = (jnp.arange(act.shape[0]) < half)[:, None]
+                act = jnp.where(is_uncond, 0.0, act)
+            emb_latent = jnp.concatenate([time_emb, act[:, None, :]],
+                                         axis=1)
 
     # 3. tokens + learned PE (denoiser.py:172-174)
     xseq = jnp.concatenate([sample, emb_latent], axis=1)

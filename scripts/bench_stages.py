@@ -66,6 +66,10 @@ def main():
     args = p.parse_args()
 
     os.environ.setdefault("MLD_TPU_MATMUL_PRECISION", "default")
+    # shipped serving config (bench.py, docs/precision_report_r4.json):
+    # bf16 CLIP, f32 scan+decode. MLD_TPU_STAGE_PRECISION= for all-bf16.
+    os.environ.setdefault("MLD_TPU_STAGE_PRECISION",
+                          "scan=highest,decode=highest")
     from mld_tpu.config import load_config
     from mld_tpu.models.mld import MLD, lengths_to_mask
 
@@ -169,6 +173,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "batch": B,
         "precision": os.environ.get("MLD_TPU_MATMUL_PRECISION"),
+        "stage_precision": os.environ.get("MLD_TPU_STAGE_PRECISION"),
         "fused_denoiser": os.environ.get("MLD_TPU_FUSED_DENOISER", "auto"),
         "fused_decode": os.environ.get("MLD_TPU_FUSED_DECODE", "auto"),
         "stages_ms": {k: round(v * 1e3, 3) for k, v in stages.items()},

@@ -79,15 +79,20 @@ def run_eval(workdir: str, precision: str, stage_spec: str = "") -> dict:
 
 
 # arm -> (global precision, per-stage overlay). The three *_bf16 arms
-# attribute the full-bf16 FID shift to a single serving stage; the
-# serving_mixed arm is the proposed config: bf16 where the FLOPs are
-# (CLIP, 94% of the program) and f32 on the latency-bound iterative path
+# attribute the full-bf16 FID shift to a single serving stage; gen_bf16
+# runs ALL generation stages bf16 while the t2m evaluator stays f32.
+# The distinction matters: the global "default" arm also runs the
+# EVALUATOR networks at bf16, so its FID delta conflates the precision of
+# the thing being measured with the precision of the measuring stick —
+# generation-precision decisions must come from the base="highest" arms.
 ARMS = {
     "highest": ("highest", ""),
     "default": ("default", ""),
     "clip_bf16": ("highest", "clip=default"),
     "scan_bf16": ("highest", "scan=default"),
     "decode_bf16": ("highest", "decode=default"),
+    "decode_high": ("highest", "decode=high"),
+    "gen_bf16": ("highest", "clip=default,scan=default,decode=default"),
     "serving_mixed": ("default", "scan=highest,decode=highest"),
 }
 
