@@ -31,17 +31,34 @@ HUMANACT12_ACTIONS = {
 
 def synth_humanact12_pkl(path: str, n_per_class: int = 8, seed: int = 0,
                          num_classes: int = 12):
-    """Write a schema-compatible humanact12poses.pkl with synthetic poses."""
+    """Write a schema-compatible humanact12poses.pkl with synthetic poses.
+
+    Class-conditioned the same way data/synthetic.py v2 conditions on
+    captions: each class carries a static pose bias AND a distinct
+    oscillation (frequency/amplitude/joint-subset all deterministic in the
+    class id), so a GRU classifier trained on the corpus separates classes
+    from dynamics — which is what lets the a2m accuracy/FID protocol
+    discriminate trained generators from random ones (the reference's
+    frozen action-recognition nets do the same through the real data)."""
     rng = np.random.RandomState(seed)
     poses, joints3d, ys = [], [], []
     for c in range(num_classes):
+        # deterministic per-class motion signature
+        crng = np.random.RandomState(10007 * (c + 1))
+        freq = 0.35 + 0.22 * c                  # cycles/sec at 20 fps
+        joints_sel = crng.permutation(24)[:8]   # which joints oscillate
+        axis_dir = crng.randn(8, 3)
+        axis_dir /= np.linalg.norm(axis_dir, axis=-1, keepdims=True)
         for i in range(n_per_class):
             T = int(rng.randint(40, 120))
-            # smooth per-class axis-angle walk, class-dependent bias
             base = rng.randn(24, 3) * 0.1
-            walk = np.cumsum(0.02 * rng.randn(T, 24, 3), axis=0)
-            pose = (base[None] + walk + 0.05 * c).reshape(T, 72)
-            poses.append(pose.astype(np.float32))
+            walk = np.cumsum(0.015 * rng.randn(T, 24, 3), axis=0)
+            t = np.arange(T) / 20.0
+            osc = 0.45 * np.sin(2 * np.pi * freq * t
+                                + rng.uniform(0, 2 * np.pi))
+            pose = base[None] + walk + 0.05 * c
+            pose[:, joints_sel] += osc[:, None, None] * axis_dir[None]
+            poses.append(pose.reshape(T, 72).astype(np.float32))
             joints3d.append(rng.randn(T, 24, 3).astype(np.float32) * 0.3)
             ys.append(c)
     os.makedirs(os.path.dirname(path), exist_ok=True)

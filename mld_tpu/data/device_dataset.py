@@ -37,7 +37,7 @@ def sample_batch(arrays: Dict, rng, batch_size: int, unit: int,
 
     arrays: feats [N,T,F] (normalized, zero-padded), lengths [N] i32,
     text_ids [N,K,77] i32, n_caps [N] i32.
-    Returns {motion [B,T,F], mask [B,T] bool, text_ids [B,T]}.
+    Returns {motion [B,T,F], mask [B,T] bool, text_ids [B,77]}.
 
     impl selects how the row-select + crop-shift is materialized:
       "gather"   one fused [B,T] 2D gather
@@ -47,7 +47,8 @@ def sample_batch(arrays: Dict, rng, batch_size: int, unit: int,
                  tests/test_data_training.py): a one-hot rhs is exact in
                  its high bf16 split, so the multi-pass f32 product
                  reproduces each row bit-for-bit.
-      None       auto by backend (scripts/bench_sampler.py measurements)
+      None       env MLD_TPU_SAMPLER_IMPL, default "gather" (the faster
+                 arm on-chip per scripts/bench_sampler.py measurements)
     """
     k_idx, k_cap, k_coin, k_start = jax.random.split(rng, 4)
     n = arrays["lengths"].shape[0]

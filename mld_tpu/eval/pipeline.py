@@ -180,6 +180,18 @@ class Evaluator:
                 tar, num_labels=cfg.model.nclasses,
                 diversity_times=diversity_times,
                 multimodality_times=mm_times)
+        # trained-in-repo flax classifier (eval/a2m_train.py) — the
+        # synthetic-corpus stand-in for the reference's frozen
+        # action-recognition checkpoint; random-init only as last resort
+        # (its accuracy is chance and FID ordering means nothing)
+        npz = os.path.join(cfg.model.humanact12_rec_path,
+                           "humanact12_gru_params.npz")
+        if os.path.exists(npz):
+            from mld_tpu.utils.checkpoint import load_params_npz
+            return HUMANACTMetrics(params=load_params_npz(npz),
+                                   num_labels=cfg.model.nclasses,
+                                   diversity_times=diversity_times,
+                                   multimodality_times=mm_times)
         return HUMANACTMetrics(num_labels=cfg.model.nclasses,
                                diversity_times=diversity_times,
                                multimodality_times=mm_times)

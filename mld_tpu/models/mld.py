@@ -17,6 +17,7 @@ into the compiled program.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -216,7 +217,13 @@ class MLD:
 
         chunk = (self._clip_chunk(token_ids.shape[0], token_ids.shape[1])
                  if serving else 0)
-        with self._stage_precision("clip"):
+        # stage-precision scopes are a SERVING config: training call sites
+        # (serving=False, train/steps.py) must keep the session default so
+        # MLD_TPU_STAGE_PRECISION leaking into a training session cannot
+        # silently change training numerics (ADVICE r4)
+        prec = (self._stage_precision("clip") if serving
+                else contextlib.nullcontext())
+        with prec:
             if chunk:
                 # same trick as _decode_chunk: the [B,12,77,77] attention
                 # working set falls out of VMEM at large B; lax.map over
@@ -284,8 +291,13 @@ class MLD:
                               deterministic=dropout_rng is None,
                               method=self.vae.encode, rngs=rngs)
 
-    def decode_latent(self, params, z, mask, dropout_rng=None):
-        with self._stage_precision("decode"):
+    def decode_latent(self, params, z, mask, dropout_rng=None,
+                      serving: bool = True):
+        # serving=False (training call sites): stage-precision scopes are
+        # serving config and must not alter training numerics (ADVICE r4)
+        prec = (self._stage_precision("decode") if serving
+                else contextlib.nullcontext())
+        with prec:
             return self._decode_latent_impl(params, z, mask, dropout_rng)
 
     def _decode_latent_impl(self, params, z, mask, dropout_rng=None):

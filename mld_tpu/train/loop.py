@@ -176,6 +176,14 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     # fuse batch sampling into the K-step scan (data/device_dataset.py) —
     # the steady-state loop then transfers one PRNG key per dispatch
     device_ds = None
+    if (cfg.train.device_data == "on"
+            and (mesh is not None
+                 or stage not in ("vae", "diffusion", "vae_diffusion"))):
+        # an explicit "on" must not silently fall back to the host loader
+        raise ValueError(
+            "train.device_data='on' is unsupported here (mesh runs keep "
+            "per-step pjit programs; stage must be one of "
+            "vae/diffusion/vae_diffusion) — use device_data='auto'")
     if (mesh is None and stage in ("vae", "diffusion", "vae_diffusion")
             and cfg.train.device_data != "off"):
         want = cfg.train.device_data == "on"

@@ -135,7 +135,8 @@ def vae_loss(mld: MLD, trainable, frozen, batch, rng, train=True):
             params, feats_ref.astype(mld.dtype))
     feats_rst = _maybe_remat(
         mld, lambda p, zz: mld.decode_latent(p, zz, mask,
-                                             dropout_rng=drop2))(params, z)
+                                             dropout_rng=drop2,
+                                             serving=False))(params, z)
     feats_rst, mu, logvar = _f32(feats_rst, mu, logvar)
     joints_rst = mld.feats2joints(feats_rst)
     joints_ref = mld.feats2joints(feats_ref)

@@ -47,6 +47,13 @@ def main():
                         "super-batch (no sampler, no loader): isolates "
                         "scan-structure cost vs K independent dispatches")
     p.add_argument("--data-root", default="/tmp/mld_bench_data2k")
+    p.add_argument("--sweep", action="store_true",
+                   help="stage x batch x matmul-precision sweep with "
+                        "per-config steps/s, samples/s and MFU (fresh-trace "
+                        "cost-analysis FLOPs of the train step, bf16-peak "
+                        "denominator) -> one JSON report")
+    p.add_argument("--out", default="bench_train_sweep.json",
+                   help="with --sweep: report path")
     p.add_argument("--dropout", type=float, default=None,
                    help="override model dropout (A/B the attention-prob "
                         "dropout cost)")
@@ -72,6 +79,8 @@ def main():
     if args.remat:
         over["train"] = {"remat": True}
     cfg = load_config(None, over or None, preset="mld_humanml3d")
+    if args.sweep:
+        return sweep_bench(args)
     if args.pipeline:
         return pipeline_bench(args, cfg)
     mld = MLD(cfg)
@@ -249,6 +258,121 @@ def pipeline_bench(args, cfg):
         "native_collate": dm.use_native,
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
     }))
+
+
+def sweep_bench(args):
+    """Training-throughput sweep (VERDICT r4 task 3): stage x batch x
+    matmul-precision at K=8 steps/dispatch, plus a K=1 arm to expose the
+    scan/dispatch structure. Per config: steps/s, samples/s, and MFU.
+
+    MFU accounting rule (VERDICT r4 item 9): the numerator is XLA
+    cost-analysis FLOPs of a FRESH trace of the full train step
+    (fwd+bwd+optimizer, donate off so the lowering is re-usable), the
+    denominator is the chip's PEAK BF16 rate regardless of the arm's
+    matmul precision — so f32 ("highest", ~6 bf16 MXU passes per logical
+    matmul) shows up as ~6x lower MFU for the same logical FLOPs, which
+    is exactly the cost being measured.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mld_tpu.config import load_config
+    from mld_tpu.models.mld import MLD
+    from mld_tpu.train.steps import (create_train_state, make_train_scan,
+                                     make_train_step)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _peak_flops  # single source for the peak table
+
+    peak = _peak_flops()
+    report = {"device": jax.devices()[0].device_kind,
+              "peak_bf16_tflops": peak / 1e12,
+              "ref_anchor_steps_per_sec": REF_STEPS_PER_SEC,
+              "arms": []}
+
+    arms = []
+    for stage in ("vae", "diffusion"):
+        for B in (64, 128, 256):
+            for prec in ("highest", "high", "default"):
+                arms.append((stage, B, prec, 8))
+    arms.append(("vae", 64, "highest", 1))       # dispatch-bound anchor
+    arms.append(("diffusion", 64, "highest", 1))
+
+    cfg = load_config(None, None, preset="mld_humanml3d")
+    mld = MLD(cfg)
+    params0 = mld.init_params(jax.random.PRNGKey(0))
+    rng_np = np.random.RandomState(0)
+    T = cfg.dataset.max_motion_len
+
+    for stage, B, prec, K in arms:
+        jax.config.update("jax_default_matmul_precision", prec)
+        try:
+            batch = {
+                "motion": jnp.asarray(rng_np.randn(B, T, cfg.dataset.nfeats),
+                                      jnp.float32),
+                "mask": jnp.asarray(
+                    np.arange(T)[None] < rng_np.randint(64, T + 1, (B, 1))),
+                "text_ids": jnp.asarray(mld.tokenizer(["a person walks"] * B)),
+            }
+            params = jax.tree_util.tree_map(jnp.copy, params0)
+            state = create_train_state(mld, params, stage)
+
+            # FLOPs: fresh trace of the single step (donate off)
+            cost_step = make_train_step(mld, stage, donate=False)
+            flops = None
+            try:
+                cost = (cost_step.lower(state, batch, jax.random.PRNGKey(0))
+                        .compile().cost_analysis())
+                if isinstance(cost, list):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0)) or None
+            except Exception:
+                pass
+
+            iters = max(32, 4 * K)
+            if K > 1:
+                scan = make_train_scan(mld, stage, donate=True)
+                batches = {k: jnp.broadcast_to(v, (K,) + v.shape)
+                           for k, v in batch.items()}
+                state, logs = scan(state, batches, jax.random.PRNGKey(1))
+                np.asarray(logs["total"])  # compile barrier
+                start = time.perf_counter()
+                n = 0
+                while n < iters:
+                    state, logs = scan(state, batches, jax.random.PRNGKey(n))
+                    n += K
+                np.asarray(logs["total"])
+                elapsed = time.perf_counter() - start
+            else:
+                step = make_train_step(mld, stage, donate=True)
+                state, logs = step(state, batch, jax.random.PRNGKey(1))
+                np.asarray(logs["total"])
+                start = time.perf_counter()
+                n = iters
+                for i in range(iters):
+                    state, logs = step(state, batch, jax.random.PRNGKey(i))
+                np.asarray(logs["total"])
+                elapsed = time.perf_counter() - start
+
+            sps = n / elapsed
+            arm = {"stage": stage, "batch": B, "precision": prec, "spd": K,
+                   "steps_per_sec": round(sps, 3),
+                   "samples_per_sec": round(sps * B, 1),
+                   "vs_baseline": round(sps / REF_STEPS_PER_SEC, 3)}
+            if flops:
+                arm["gflops_per_step"] = round(flops / 1e9, 2)
+                arm["mfu_bf16peak"] = round(flops * sps / peak, 4)
+            report["arms"].append(arm)
+            print(json.dumps(arm), flush=True)
+            del state, batch, params
+        finally:
+            jax.config.update("jax_default_matmul_precision",
+                              os.environ.get("MLD_TPU_MATMUL_PRECISION",
+                                             "highest"))
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}", flush=True)
 
 
 def ab_bench(args, cfg, mld, dm, params, spd):

@@ -55,7 +55,8 @@ print("RESULT_JSON:" + json.dumps({k: float(v) for k, v in res.items()}))
 """
 
 
-def run_eval(workdir: str, precision: str, stage_spec: str = "") -> dict:
+def run_eval(workdir: str, precision: str, stage_spec: str = "",
+             allow_random_eval: bool = False) -> dict:
     env = dict(os.environ)
     env["MLD_TPU_MATMUL_PRECISION"] = precision
     if stage_spec:
@@ -63,6 +64,18 @@ def run_eval(workdir: str, precision: str, stage_spec: str = "") -> dict:
     else:
         env.pop("MLD_TPU_STAGE_PRECISION", None)
     t2m = os.path.join(workdir, "t2m_eval_params.npz")
+    if not os.path.exists(t2m):
+        # a random-init evaluator pins R-precision at chance and HIDES any
+        # precision-induced shift — a report built on it looks valid but
+        # cannot detect anything (ADVICE r4). Refuse by default.
+        if not allow_random_eval:
+            raise SystemExit(
+                f"trained evaluator bundle not found: {t2m}\n"
+                "run scripts/train_synthetic_e2e.py with this --workdir "
+                "first, or pass --allow-random-eval to proceed anyway "
+                "(the report will NOT be able to detect precision shifts)")
+        print(f"WARNING: {t2m} missing — random-init evaluator; the report "
+              "cannot detect precision shifts", file=sys.stderr)
     code = _EVAL_CODE % {
         "repo": REPO,
         "data": os.path.join(workdir, "data"),
@@ -91,8 +104,13 @@ ARMS = {
     "clip_bf16": ("highest", "clip=default"),
     "scan_bf16": ("highest", "scan=default"),
     "decode_bf16": ("highest", "decode=default"),
+    "scan_high": ("highest", "scan=high"),
     "decode_high": ("highest", "decode=high"),
     "gen_bf16": ("highest", "clip=default,scan=default,decode=default"),
+    # candidate shipping generation config measured with an f32 measuring
+    # stick: CLIP bf16 (where the FLOPs are), scan+decode at "high"
+    # (3-pass bf16, ~2x cheaper than "highest"'s 6)
+    "gen_mixed_high": ("highest", "clip=default,scan=high,decode=high"),
     "serving_mixed": ("default", "scan=highest,decode=highest"),
 }
 
@@ -103,12 +121,16 @@ def main():
     p.add_argument("--arms", nargs="+", default=list(ARMS),
                    choices=list(ARMS))
     p.add_argument("--out", default="precision_report.json")
+    p.add_argument("--allow-random-eval", action="store_true",
+                   help="proceed without the trained evaluator bundle "
+                        "(the report will not detect precision shifts)")
     args = p.parse_args()
 
     report = {}
     for arm in args.arms:
         prec, spec = ARMS[arm]
-        report[arm] = run_eval(args.workdir, prec, spec)
+        report[arm] = run_eval(args.workdir, prec, spec,
+                               allow_random_eval=args.allow_random_eval)
         report[arm]["_env"] = {"MLD_TPU_MATMUL_PRECISION": prec,
                                "MLD_TPU_STAGE_PRECISION": spec}
         print(f"{arm}: FID={report[arm]['FID']:.4f} "

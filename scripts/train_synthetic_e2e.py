@@ -34,6 +34,10 @@ def main():
     p.add_argument("--eval-steps", type=int, default=1000,
                    help="contrastive training steps for the t2m evaluator "
                         "bundle (eval/t2m_train.py)")
+    p.add_argument("--clip-steps", type=int, default=800,
+                   help="CLIP text-tower pretraining steps "
+                        "(train/pretrain.py — the synthetic analog of the "
+                        "reference's frozen pretrained CLIP)")
     p.add_argument("--out", default="e2e_report.json")
     p.add_argument("--workdir", default=None)
     p.add_argument("--preset", default="mld_humanml3d",
@@ -117,6 +121,18 @@ def main():
     save_params_npz(t2m_path, t2m_params)
     cfg.eval.t2m_params_path = t2m_path
     report["t2m_evaluator"] = t2m_report
+
+    # -------------------------------------------- stage 0b: CLIP pretraining
+    # the reference's denoiser conditions on a frozen PRETRAINED CLIP; a
+    # random-init tower feeds the denoiser near-noise text features and
+    # generated R-precision stays at chance regardless of stage-2 budget
+    # (train/pretrain.py docstring). Pretrain the tower on the corpus's
+    # deterministic caption->style map, then freeze — same protocol shape.
+    from mld_tpu.train.pretrain import pretrain_clip_text
+
+    params, clip_report = pretrain_clip_text(cfg, dm, mld, params,
+                                             steps=args.clip_steps)
+    report["clip_pretrain"] = clip_report
 
     def batches(split="train", seed=0):
         loader = dm.loader(split, seed=seed, drop_last=True)

@@ -93,6 +93,10 @@ def main():
         gt = evaluator.run_gt(params, dm.loader("test", shuffle=False),
                               jax.random.PRNGKey(0))
         results.update({f"gt_only/{k}": float(v) for k, v in gt.items()})
+    elif args.gt:
+        print("--gt: separate GT-only pass is a t2m-protocol feature; "
+              "the a2m protocol already folds GT statistics into the "
+              "accumulator (gt_accuracy/FID columns above) — flag ignored")
 
     if prediction_sink is not None:
         print(f"saved {counter['n']} evaluated-prediction npys")

@@ -230,9 +230,10 @@ class TestDeviceDataset:
             assert tuple(row) in pool
 
     def test_sampler_impls_bit_exact(self, synth_root):
-        # "shift_mm" (TPU default: axis-0 take + one-hot shift einsum at
-        # f32/HIGHEST) must reproduce the "gather" path bit-for-bit —
-        # a one-hot rhs is exact in its high bf16 split
+        # "shift_mm" (opt-in alternative: axis-0 take + one-hot shift
+        # einsum at f32/HIGHEST; "gather" is the measured default) must
+        # reproduce the "gather" path bit-for-bit — a one-hot rhs is
+        # exact in its high bf16 split
         from mld_tpu.data.device_dataset import sample_batch
         cfg = tiny_cfg(synth_root)
         mld = MLD(cfg)

@@ -51,14 +51,29 @@ class TestMultihostGather:
         env = {k: v for k, v in os.environ.items()
                if "AXON" not in k and k != "PYTHONPATH"}
         env["JAX_PLATFORMS"] = "cpu"
-        port = str(free_port())
-        procs = [subprocess.Popen(
-            [sys.executable, str(worker), str(i), port], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-            for i in range(2)]
-        outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=240)
-            outs.append(out)
-        for i, out in enumerate(outs):
-            assert f"GATHER_OK {i}" in out, out[-2000:]
+        # free_port() is inherently racy (the socket is closed before the
+        # coordinator rebinds it); under full-suite load another process
+        # can steal the port or the rendezvous can time out. Retry the
+        # whole 2-process attempt on fresh ports (r4 verdict flake).
+        last = None
+        for attempt in range(3):
+            port = str(free_port())
+            procs = [subprocess.Popen(
+                [sys.executable, str(worker), str(i), port], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+                for i in range(2)]
+            outs = []
+            try:
+                for p in procs:
+                    out, _ = p.communicate(timeout=240)
+                    outs.append(out)
+            except subprocess.TimeoutExpired:
+                for p in procs:
+                    p.kill()
+                    p.communicate()
+                last = "rendezvous timeout"
+                continue
+            if all(f"GATHER_OK {i}" in out for i, out in enumerate(outs)):
+                return
+            last = "\n".join(out[-2000:] for out in outs)
+        pytest.fail(f"2-process gather failed after 3 attempts:\n{last}")
