@@ -126,7 +126,9 @@ class TrainConfig:
     num_workers: int = 8
     split: str = "train"
     seed: int = 1234
-    # parallelism: devices along the data axis of the mesh (-1 = all)
+    # parallelism: devices along the data axis of the mesh (-1 = all,
+    # 1 = force single-device: no mesh, unlocking the fused K-step scan
+    # and device-resident-corpus paths on multi-device hosts)
     data_parallel: int = -1
     # rematerialize model forwards in the loss (trade FLOPs for memory)
     remat: bool = False

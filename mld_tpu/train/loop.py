@@ -142,7 +142,10 @@ def train(cfg: Config, max_steps: Optional[int] = None,
     state = create_train_state(mld, params, stage)
 
     n_data = (cfg.train.data_parallel if cfg.train.data_parallel > 0 else -1)
-    mesh = make_mesh(num_data=n_data) if jax.device_count() > 1 else None
+    # data_parallel=1 is an explicit "no mesh": single-device semantics
+    # (K-step scan, device-resident corpus) on a multi-device host
+    mesh = (make_mesh(num_data=n_data)
+            if jax.device_count() > 1 and n_data != 1 else None)
     if mesh is not None:
         state = state.replace(
             params=replicate_tree(state.params, mesh),

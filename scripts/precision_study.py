@@ -56,7 +56,8 @@ print("RESULT_JSON:" + json.dumps({k: float(v) for k, v in res.items()}))
 
 
 def run_eval(workdir: str, precision: str, stage_spec: str = "",
-             allow_random_eval: bool = False) -> dict:
+             allow_random_eval: bool = False,
+             params_name: str = "trained_params.npz") -> dict:
     env = dict(os.environ)
     env["MLD_TPU_MATMUL_PRECISION"] = precision
     if stage_spec:
@@ -79,7 +80,7 @@ def run_eval(workdir: str, precision: str, stage_spec: str = "",
     code = _EVAL_CODE % {
         "repo": REPO,
         "data": os.path.join(workdir, "data"),
-        "params": os.path.join(workdir, "trained_params.npz"),
+        "params": os.path.join(workdir, params_name),
         "t2m": t2m if os.path.exists(t2m) else "",
     }
     r = subprocess.run([sys.executable, "-c", code], env=env,

@@ -40,6 +40,20 @@ def main():
                         "reference's frozen pretrained CLIP)")
     p.add_argument("--out", default="e2e_report.json")
     p.add_argument("--workdir", default=None)
+    p.add_argument("--reuse-eval-bundle", action="store_true",
+                   help="load workdir/t2m_eval_params.npz instead of "
+                        "retraining it — keeps the metric measuring stick "
+                        "FIXED across training-precision arms "
+                        "(scripts/train_precision_study.py)")
+    p.add_argument("--params-name", default="trained_params.npz",
+                   help="filename for the trained parameter bundle inside "
+                        "--workdir (per-arm names for the precision study)")
+    p.add_argument("--skip-loop", action="store_true",
+                   help="skip the train() driver val-curve section")
+    p.add_argument("--skip-final-eval", action="store_true",
+                   help="skip the in-process random-vs-trained eval "
+                        "(arms are evaluated out-of-process at a fixed "
+                        "serving precision instead)")
     p.add_argument("--preset", default="mld_humanml3d",
                    choices=["mld_humanml3d", "mld_kit"],
                    help="mld_kit proves the 251-feat/21-joint KIT preset "
@@ -115,12 +129,15 @@ def main():
     from mld_tpu.eval.t2m_train import train_t2m_evaluator
     from mld_tpu.utils.checkpoint import save_params_npz
 
-    t2m_params, t2m_report = train_t2m_evaluator(
-        cfg, dm, steps=args.eval_steps)
     t2m_path = os.path.join(workdir, "t2m_eval_params.npz")
-    save_params_npz(t2m_path, t2m_params)
+    if args.reuse_eval_bundle and os.path.exists(t2m_path):
+        report["t2m_evaluator"] = {"reused": t2m_path}
+    else:
+        t2m_params, t2m_report = train_t2m_evaluator(
+            cfg, dm, steps=args.eval_steps)
+        save_params_npz(t2m_path, t2m_params)
+        report["t2m_evaluator"] = t2m_report
     cfg.eval.t2m_params_path = t2m_path
-    report["t2m_evaluator"] = t2m_report
 
     # -------------------------------------------- stage 0b: CLIP pretraining
     # the reference's denoiser conditions on a frozen PRETRAINED CLIP; a
@@ -172,10 +189,20 @@ def main():
                            "seconds": time.time() - t0}
     trained = full_params(state)
 
-    params_path = os.path.join(workdir, "trained_params.npz")
+    params_path = os.path.join(workdir, args.params_name)
     save_params_npz(params_path, jax.device_get(trained))
     report["params_path"] = params_path
     report["data_root"] = data_root
+
+    if args.skip_final_eval:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        ok = (report["vae"]["loss_last"] < report["vae"]["loss_first"]
+              and report["diffusion"]["loss_last"]
+              < report["diffusion"]["loss_first"])
+        print("E2E LEARNING CHECK:", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
 
     # -------------------------------------------------- eval: random vs trained
     ev = Evaluator(cfg, mld, dm)
@@ -198,6 +225,20 @@ def main():
     # -------------------- train() driver w/ in-training metric validation
     # (reference behavior: full t2m metric suite on the val split during
     # training, mld.py:811-907 — produces the per-validation FID curve)
+    fid_curve = []
+    if args.skip_loop:
+        report["val_fid_curve"] = fid_curve
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        ok = (report["vae"]["loss_last"] < report["vae"]["loss_first"]
+              and report["diffusion"]["loss_last"]
+              < report["diffusion"]["loss_first"]
+              and report["eval_trained"]["FID"]
+              < report["eval_random_init"]["FID"])
+        print("E2E LEARNING CHECK:", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
+
     from mld_tpu.train.loop import train as train_loop
 
     loop_cfg = cfg.replace(name="e2e_loop")

@@ -82,6 +82,9 @@ class TestTrainLoop:
         over["name"] = "itest_devdata"
         over["train"]["device_data"] = "on"
         over["train"]["steps_per_dispatch"] = 2
+        # force single-device semantics on the 8-device CPU conftest:
+        # an explicit device_data='on' raises under a mesh (loop.py gate)
+        over["train"]["data_parallel"] = 1
         cfg = load_config(None, over)
         params = train(cfg, max_steps=5)
         assert "vae" in params
