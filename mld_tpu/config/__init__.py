@@ -5,11 +5,13 @@ from .core import (
     ModelConfig,
     SchedulerConfig,
     TrainConfig,
+    config_to_dict,
     load_config,
     merge_dicts,
 )
 
 __all__ = [
     "Config", "DatasetConfig", "LossConfig", "ModelConfig",
-    "SchedulerConfig", "TrainConfig", "load_config", "merge_dicts",
+    "SchedulerConfig", "TrainConfig", "config_to_dict", "load_config",
+    "merge_dicts",
 ]

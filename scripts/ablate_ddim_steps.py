@@ -52,19 +52,29 @@ def main():
               "guidance": args.guidance, "arms": {}}
     loaded = None
     for n_steps in args.steps:
-        cfg = load_config(None, {
-            "debug": False,
-            "model": {"latent_dim": 64, "ff_size": 128, "num_layers": 3,
-                      "denoiser_num_layers": 3, "num_heads": 4,
-                      "text_encoded_dim": 64, "clip_layers": 2,
-                      "clip_heads": 2, "guidance_scale": args.guidance,
-                      "scheduler": {"num_inference_timesteps": n_steps}},
-            "dataset": {"root": data_root, "max_motion_len": 96,
-                        "min_motion_len": 16},
-            "eval": {"batch_size": 32, "diversity_times": 30, "r_size": 32,
-                     "t2m_params_path":
-                         t2m_path if os.path.exists(t2m_path) else ""},
-        }, preset="mld_humanml3d")
+        # architecture from the workdir's resolved protocol config
+        # (train_synthetic_e2e.py writes cfg.json; legacy workdirs fall
+        # back to the r4 small-protocol dims)
+        cfg_json = os.path.join(args.workdir, "cfg.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                base = json.load(f)
+        else:
+            base = {"model": {"latent_dim": 64, "ff_size": 128,
+                              "num_layers": 3, "denoiser_num_layers": 3,
+                              "num_heads": 4, "text_encoded_dim": 64,
+                              "clip_layers": 2, "clip_heads": 2}}
+        base["debug"] = False
+        base.setdefault("model", {})["guidance_scale"] = args.guidance
+        base["model"].setdefault("scheduler", {})[
+            "num_inference_timesteps"] = n_steps
+        base.setdefault("dataset", {}).update(
+            {"root": data_root, "max_motion_len": 96, "min_motion_len": 16})
+        base.setdefault("eval", {}).update(
+            {"batch_size": 32, "diversity_times": 30, "r_size": 32,
+             "t2m_params_path":
+                 t2m_path if os.path.exists(t2m_path) else ""})
+        cfg = load_config(None, base, preset="mld_humanml3d")
         mld = MLD(cfg)
         dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
         mld.mean = jnp.asarray(dm.mean, jnp.float32)

@@ -27,20 +27,30 @@ from mld_tpu.eval.pipeline import Evaluator
 from mld_tpu.models.mld import MLD
 from mld_tpu.utils.checkpoint import load_params_npz
 
-cfg = load_config(None, {
-    "debug": False,
-    "model": {"latent_dim": 64, "ff_size": 128, "num_layers": 3,
-              "denoiser_num_layers": 3, "num_heads": 4,
-              "text_encoded_dim": 64, "clip_layers": 2, "clip_heads": 2,
-              "scheduler": {"num_inference_timesteps": 10}},
-    "dataset": {"root": %(data)r, "max_motion_len": 96,
-                "min_motion_len": 16},
-    # reference-protocol eval shape (matches train_synthetic_e2e.py), with
-    # the TRAINED t2m evaluator bundle — random-init evaluators pin
-    # R-precision at chance and hide any precision-induced shift
-    "eval": {"batch_size": 32, "diversity_times": 30, "r_size": 32,
-             "t2m_params_path": %(t2m)r},
-}, preset="mld_humanml3d")
+# architecture comes from the workdir's resolved protocol config
+# (train_synthetic_e2e.py writes cfg.json) so the study always builds the
+# model that was actually trained; legacy workdirs fall back to the r4
+# small-protocol dims
+_cfg_json = os.path.join(os.path.dirname(%(data)r), "cfg.json")
+if os.path.exists(_cfg_json):
+    with open(_cfg_json) as f:
+        base = json.load(f)
+else:
+    base = {"model": {"latent_dim": 64, "ff_size": 128, "num_layers": 3,
+                      "denoiser_num_layers": 3, "num_heads": 4,
+                      "text_encoded_dim": 64, "clip_layers": 2,
+                      "clip_heads": 2,
+                      "scheduler": {"num_inference_timesteps": 10}}}
+base["debug"] = False
+base.setdefault("dataset", {}).update(
+    {"root": %(data)r, "max_motion_len": 96, "min_motion_len": 16})
+# reference-protocol eval shape (matches train_synthetic_e2e.py), with
+# the TRAINED t2m evaluator bundle — random-init evaluators pin
+# R-precision at chance and hide any precision-induced shift
+base.setdefault("eval", {}).update(
+    {"batch_size": 32, "diversity_times": 30, "r_size": 32,
+     "t2m_params_path": %(t2m)r})
+cfg = load_config(None, base, preset="mld_humanml3d")
 mld = MLD(cfg)
 dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
 mld.mean = jnp.asarray(dm.mean, jnp.float32)

@@ -40,6 +40,20 @@ def main():
                         "reference's frozen pretrained CLIP)")
     p.add_argument("--out", default="e2e_report.json")
     p.add_argument("--workdir", default=None)
+    p.add_argument("--model-scale", default="small",
+                   choices=["small", "large"],
+                   help="small = the r4 protocol dims; large = near-"
+                        "flagship generator dims (latent 2x256, ff 1024, "
+                        "7-layer denoiser) — the r5 fix for the VAE-recon "
+                        "bottleneck (recon FID capped the whole pipeline "
+                        "at ~14k, docs/e2e_report_r5.json diagnosis)")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="0 = per-scale default (16 small / 32 large)")
+    p.add_argument("--lr-schedule", default="const",
+                   choices=["const", "cosine"],
+                   help="cosine: warmup-cosine decay over --steps per "
+                        "stage (protocol-only knob; the library optimizer "
+                        "keeps reference-parity constant AdamW)")
     p.add_argument("--reuse-eval-bundle", action="store_true",
                    help="load workdir/t2m_eval_params.npz instead of "
                         "retraining it — keeps the metric measuring stick "
@@ -90,18 +104,34 @@ def main():
                         os.path.abspath(__file__))), data_root, args.samples,
                     "kit" if args.preset == "mld_kit" else "humanml3d"))
         subprocess.run([sys.executable, "-c", code], env=env, check=True,
-                       timeout=900)
+                       timeout=3600)
 
+    if args.model_scale == "large":
+        # near-flagship generator dims: the precision studies instrument
+        # this model's serving program, so its matmul shapes should match
+        # what bench.py ships (denoiser d=256/ff=1024; latent_size 2 for
+        # recon capacity — the r5 bottleneck diagnosis)
+        model_dims = {"latent_dim": 256, "latent_size": 2, "ff_size": 1024,
+                      "num_layers": 5, "denoiser_num_layers": 7,
+                      "num_heads": 4, "text_encoded_dim": 256,
+                      "clip_layers": 4, "clip_heads": 4}
+        default_bs = 32
+        n_infer = 50
+    else:
+        model_dims = {"latent_dim": 64, "ff_size": 128, "num_layers": 3,
+                      "denoiser_num_layers": 3, "num_heads": 4,
+                      "text_encoded_dim": 64, "clip_layers": 2,
+                      "clip_heads": 2}
+        default_bs = 16
+        n_infer = 10
     overrides = {
         "debug": False,
-        "model": {"latent_dim": 64, "ff_size": 128, "num_layers": 3,
-                  "denoiser_num_layers": 3, "num_heads": 4,
-                  "text_encoded_dim": 64, "clip_layers": 2, "clip_heads": 2,
+        "model": {**model_dims,
                   "guidance_scale": args.guidance,
-                  "scheduler": {"num_inference_timesteps": 10}},
+                  "scheduler": {"num_inference_timesteps": n_infer}},
         "dataset": {"root": data_root, "max_motion_len": 96,
                     "min_motion_len": 16},
-        "train": {"batch_size": 16, "lr": 3e-4},
+        "train": {"batch_size": args.batch_size or default_bs, "lr": 3e-4},
         # reference-protocol R-size 32 (needs the trained evaluator bundle
         # below to be meaningful; random-init evaluators = chance)
         "eval": {"batch_size": 32, "diversity_times": 30,
@@ -111,6 +141,12 @@ def main():
     if args.preset == "mld_kit":
         overrides["dataset"]["min_motion_len"] = 8
     cfg = load_config(None, overrides, preset=args.preset)
+    # persist the resolved protocol config so downstream studies
+    # (precision_study / train_precision_study / ablate_ddim_steps) build
+    # the SAME architecture instead of hardcoding dims
+    from mld_tpu.config import config_to_dict
+    with open(os.path.join(workdir, "cfg.json"), "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
     mld = MLD(cfg)
     dm = get_datamodule(cfg, tokenizer=mld.tokenizer)
     mld.mean = jnp.asarray(dm.mean, jnp.float32)
@@ -158,8 +194,21 @@ def main():
                 yield {k: jnp.asarray(v) for k, v in b.items()
                        if k in ("motion", "mask", "text_ids")}
 
+    def make_tx():
+        if args.lr_schedule != "cosine":
+            return None  # library default: reference-parity constant AdamW
+        import optax
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.train.lr * 0.05, peak_value=cfg.train.lr,
+            warmup_steps=max(50, args.steps // 20), decay_steps=args.steps,
+            end_value=cfg.train.lr * 0.02)
+        return optax.apply_if_finite(
+            optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=1e-2),
+            max_consecutive_errors=100)
+
     # ---------------------------------------------------------- stage 1: VAE
-    state = create_train_state(mld, params, "vae")
+    state = create_train_state(mld, params, "vae", tx=make_tx())
     step = make_train_step(mld, "vae", donate=False)
     gen = batches(seed=1)
     t0 = time.time()
@@ -175,7 +224,7 @@ def main():
     params = full_params(state)
 
     # ----------------------------------------------------- stage 2: diffusion
-    state = create_train_state(mld, params, "diffusion")
+    state = create_train_state(mld, params, "diffusion", tx=make_tx())
     step = make_train_step(mld, "diffusion", donate=False)
     gen = batches(seed=2)
     t0 = time.time()
