@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import re
+import zlib
 from typing import List, Optional
 
 import flax.linen as nn
@@ -207,7 +208,16 @@ def convert_hf_clip_text(state_dict) -> dict:
 class ClipTokenizer:
     """Host-side tokenizer. Uses the HF tokenizer when a local CLIP clone is
     available; otherwise a deterministic hash fallback (self-consistent for
-    from-scratch training, NOT compatible with pretrained CLIP weights)."""
+    from-scratch training, NOT compatible with pretrained CLIP weights).
+
+    The fallback hashes with zlib.crc32, NOT Python's built-in ``hash``:
+    str hashing is salted per interpreter (PYTHONHASHSEED), so builtin-hash
+    ids silently change between processes — a model trained in one process
+    (train.py) would receive scrambled token ids in another (test.py /
+    demo.py / study subprocesses), collapsing text conditioning to chance.
+    This exact failure invalidated the first r5 precision study (every
+    subprocess arm re-rolled the vocabulary). Same pitfall + fix as
+    data/word_vectorizer.py's POS one-hot path."""
 
     def __init__(self, modelpath: Optional[str] = None,
                  context_length: int = CLIP_CONTEXT):
@@ -249,7 +259,8 @@ class ClipTokenizer:
                 words = self._word_re.findall(
                     text.lower())[: self.context_length - 2]
                 ids = [CLIP_BOS] + [
-                    (hash(w) % (CLIP_BOS - 1)) + 1 for w in words] + [CLIP_EOS]
+                    (zlib.crc32(w.encode("utf-8")) % (CLIP_BOS - 1)) + 1
+                    for w in words] + [CLIP_EOS]
                 out[i, : len(ids)] = ids
         if buckets:
             # EOS is the largest vocab id and pad == EOS, so argmax finds

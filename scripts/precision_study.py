@@ -60,14 +60,15 @@ mld.std_eval = jnp.asarray(dm.std_eval, jnp.float32)
 params = load_params_npz(%(params)r)
 ev = Evaluator(cfg, mld, dm)
 res = ev.run_split(params, dm.loader("test", shuffle=False, drop_last=True),
-                   jax.random.PRNGKey(7), stage="diffusion")
+                   jax.random.PRNGKey(%(seed)d), stage="diffusion")
 print("RESULT_JSON:" + json.dumps({k: float(v) for k, v in res.items()}))
 """
 
 
 def run_eval(workdir: str, precision: str, stage_spec: str = "",
              allow_random_eval: bool = False,
-             params_name: str = "trained_params.npz") -> dict:
+             params_name: str = "trained_params.npz",
+             seed: int = 7) -> dict:
     env = dict(os.environ)
     env["MLD_TPU_MATMUL_PRECISION"] = precision
     if stage_spec:
@@ -92,6 +93,7 @@ def run_eval(workdir: str, precision: str, stage_spec: str = "",
         "data": os.path.join(workdir, "data"),
         "params": os.path.join(workdir, params_name),
         "t2m": t2m if os.path.exists(t2m) else "",
+        "seed": seed,
     }
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=1700)
@@ -122,8 +124,22 @@ ARMS = {
     # stick: CLIP bf16 (where the FLOPs are), scan+decode at "high"
     # (3-pass bf16, ~2x cheaper than "highest"'s 6)
     "gen_mixed_high": ("highest", "clip=default,scan=high,decode=high"),
+    # faster candidate: bf16 CLIP+scan, decode kept at "high" (decode is
+    # the one stage whose bf16 arm shows a direct, non-chaotic feature
+    # quantization shift)
+    "gen_fast": ("highest", "clip=default,scan=default,decode=high"),
     "serving_mixed": ("default", "scan=highest,decode=highest"),
+    # sampling-noise floor: identical numerics to "highest", different
+    # eval PRNG seed. The DDIM iteration is chaotic w.r.t. any
+    # perturbation, so a precision arm whose |FID delta| is within the
+    # spread of these arms carries no quality signal — only arms that
+    # EXCEED the seed spread indicate a real numeric degradation.
+    "noise_seed8": ("highest", ""),
+    "noise_seed9": ("highest", ""),
+    "noise_seed10": ("highest", ""),
 }
+
+ARM_SEEDS = {"noise_seed8": 8, "noise_seed9": 9, "noise_seed10": 10}
 
 
 def main():
@@ -141,11 +157,14 @@ def main():
     for arm in args.arms:
         prec, spec = ARMS[arm]
         report[arm] = run_eval(args.workdir, prec, spec,
-                               allow_random_eval=args.allow_random_eval)
+                               allow_random_eval=args.allow_random_eval,
+                               seed=ARM_SEEDS.get(arm, 7))
         report[arm]["_env"] = {"MLD_TPU_MATMUL_PRECISION": prec,
                                "MLD_TPU_STAGE_PRECISION": spec}
         print(f"{arm}: FID={report[arm]['FID']:.4f} "
               f"Matching={report[arm]['Matching_score']:.4f}", flush=True)
+        with open(args.out, "w") as f:  # incremental: survive timeouts
+            json.dump(report, f, indent=2)
     if "highest" in report:
         f32 = report["highest"]
         denom = max(abs(f32["FID"]), 1e-6)
@@ -158,6 +177,18 @@ def main():
         if "default" in report:  # backwards-compat field
             report["fid_rel_delta"] = report["default"][
                 "fid_rel_delta_vs_f32"]
+        noise = [report[a]["fid_rel_delta_vs_f32"] for a in args.arms
+                 if a in ARM_SEEDS and a in report]
+        if noise:
+            floor = max(noise)
+            report["fid_noise_floor"] = floor
+            for arm in args.arms:
+                if arm == "highest" or arm in ARM_SEEDS:
+                    continue
+                report[arm]["exceeds_noise_floor"] = bool(
+                    report[arm]["fid_rel_delta_vs_f32"] > floor)
+            print(f"FID sampling-noise floor (seed re-rolls): "
+                  f"{floor*100:.2f}%")
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
 

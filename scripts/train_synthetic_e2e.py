@@ -62,6 +62,13 @@ def main():
     p.add_argument("--params-name", default="trained_params.npz",
                    help="filename for the trained parameter bundle inside "
                         "--workdir (per-arm names for the precision study)")
+    p.add_argument("--reuse-vae", default=None, metavar="BUNDLE_NPZ",
+                   help="load the stage-1 VAE subtree from an existing "
+                        "trained bundle and skip VAE training. Valid "
+                        "because the VAE stage never sees text: its "
+                        "weights are independent of the tokenizer, unlike "
+                        "the CLIP/denoiser stages (the r5 hash-salt "
+                        "incident forced exactly this partial retrain)")
     p.add_argument("--skip-loop", action="store_true",
                    help="skip the train() driver val-curve section")
     p.add_argument("--skip-final-eval", action="store_true",
@@ -208,20 +215,27 @@ def main():
             max_consecutive_errors=100)
 
     # ---------------------------------------------------------- stage 1: VAE
-    state = create_train_state(mld, params, "vae", tx=make_tx())
-    step = make_train_step(mld, "vae", donate=False)
-    gen = batches(seed=1)
-    t0 = time.time()
-    first = last = None
-    for i in range(args.steps):
-        rng, srng = jax.random.split(rng)
-        state, logs = step(state, next(gen), srng)
-        if i == 0:
-            first = float(logs["total"])
-        last = float(logs["total"])
-    report["vae"] = {"loss_first": first, "loss_last": last,
-                     "seconds": time.time() - t0}
-    params = full_params(state)
+    if args.reuse_vae:
+        from mld_tpu.utils.checkpoint import load_params_npz
+        donor = load_params_npz(args.reuse_vae)
+        params = dict(params)
+        params["vae"] = donor["vae"]
+        report["vae"] = {"reused": args.reuse_vae}
+    else:
+        state = create_train_state(mld, params, "vae", tx=make_tx())
+        step = make_train_step(mld, "vae", donate=False)
+        gen = batches(seed=1)
+        t0 = time.time()
+        first = last = None
+        for i in range(args.steps):
+            rng, srng = jax.random.split(rng)
+            state, logs = step(state, next(gen), srng)
+            if i == 0:
+                first = float(logs["total"])
+            last = float(logs["total"])
+        report["vae"] = {"loss_first": first, "loss_last": last,
+                         "seconds": time.time() - t0}
+        params = full_params(state)
 
     # ----------------------------------------------------- stage 2: diffusion
     state = create_train_state(mld, params, "diffusion", tx=make_tx())
@@ -247,7 +261,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
         print(json.dumps(report, indent=2))
-        ok = (report["vae"]["loss_last"] < report["vae"]["loss_first"]
+        ok = (("reused" in report["vae"]
+           or report["vae"]["loss_last"] < report["vae"]["loss_first"])
               and report["diffusion"]["loss_last"]
               < report["diffusion"]["loss_first"])
         print("E2E LEARNING CHECK:", "PASS" if ok else "FAIL")
@@ -280,7 +295,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
         print(json.dumps(report, indent=2))
-        ok = (report["vae"]["loss_last"] < report["vae"]["loss_first"]
+        ok = (("reused" in report["vae"]
+           or report["vae"]["loss_last"] < report["vae"]["loss_first"])
               and report["diffusion"]["loss_last"]
               < report["diffusion"]["loss_first"]
               and report["eval_trained"]["FID"]
@@ -320,7 +336,8 @@ def main():
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
-    ok = (report["vae"]["loss_last"] < report["vae"]["loss_first"]
+    ok = (("reused" in report["vae"]
+           or report["vae"]["loss_last"] < report["vae"]["loss_first"])
           and report["diffusion"]["loss_last"]
           < report["diffusion"]["loss_first"]
           and report["eval_trained"]["FID"]

@@ -80,6 +80,34 @@ class TestTokenizer:
         ids = tok([""])
         assert ids[0, 0] == CLIP_BOS and ids[0, 1] == CLIP_EOS
 
+    def test_hash_fallback_stable_across_processes(self):
+        """Fallback ids must not depend on the interpreter's hash salt.
+
+        Python salts str hashing per process (PYTHONHASHSEED), so a
+        builtin-hash tokenizer scrambles the vocabulary between train.py
+        and test.py invocations — trained text conditioning collapses to
+        chance in any later process. Regression for the crc32 fix."""
+        import json
+        import os
+        import subprocess
+        import sys
+        code = (
+            "import json, sys; sys.path.insert(0, %r); "
+            "from mld_tpu.models.clip_text import ClipTokenizer; "
+            "print(json.dumps(ClipTokenizer(None)"
+            "(['a person walks forward and waves']).tolist()))"
+            % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        rows = []
+        for seed in ("0", "12345"):
+            env = dict(os.environ)
+            env["PYTHONHASHSEED"] = seed
+            env["JAX_PLATFORMS"] = "cpu"
+            out = subprocess.run([sys.executable, "-c", code], env=env,
+                                 capture_output=True, text=True, timeout=120)
+            assert out.returncode == 0, out.stderr[-500:]
+            rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        assert rows[0] == rows[1]
+
     def test_bucketed_crop(self):
         tok = ClipTokenizer(None)
         texts = ["a person walks forward", "spins twice"]
