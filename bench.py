@@ -184,6 +184,12 @@ def main():
                                              "auto"),
             "fused_decode": os.environ.get("MLD_TPU_FUSED_DECODE", "auto"),
             "device": jax.devices()[0].device_kind,
+            # MFU denominator: peak *bf16* matmul rate of the chip
+            # (_PEAK_TFLOPS). Stages pinned to f32 via
+            # MLD_TPU_STAGE_PRECISION run at ~1/6 of that peak
+            # ("highest" = 6 bf16 passes), so their MFU reads ~6x lower
+            # for the same logical FLOPs — see docs/ROOFLINE.md.
+            "mfu_denominator": "bf16_peak",
         },
     }
     if mfu is not None:

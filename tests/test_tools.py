@@ -91,3 +91,57 @@ class TestAnalysisScripts:
         assert pca_2d(x).shape == (40, 2)
         y = tsne_2d(x, perplexity=5, iters=50)
         assert y.shape == (40, 2) and np.isfinite(y).all()
+
+
+class TestPrecisionDecide:
+    """scripts/precision_decide.py: noise-floor gating decision logic."""
+
+    def _report(self, fid_deltas):
+        base = {"FID": 100.0, "Matching_score": 50.0,
+                "R_precision_top_1": 0.40, "R_precision_top_2": 0.55,
+                "R_precision_top_3": 0.65, "APE_root": 0.10}
+        rep = {"highest": dict(base)}
+        # two noise re-rolls at +/-2% FID -> floor 0.02
+        for name, f in (("noise_seed8", 102.0), ("noise_seed9", 98.0)):
+            rep[name] = dict(base, FID=f)
+        for arm, d in fid_deltas.items():
+            rep[arm] = dict(base, FID=base["FID"] * (1 + d))
+        return rep
+
+    def _run(self, rep, tmp_path):
+        import json
+        rp = tmp_path / "report.json"
+        rp.write_text(json.dumps(rep))
+        out = tmp_path / "decision.json"
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO_ROOT, "scripts", "precision_decide.py"),
+             "--report", str(rp), "--out", str(out)],
+            capture_output=True, text=True, env=_env(),
+            cwd=REPO_ROOT, timeout=60)
+        assert r.returncode == 0, r.stderr
+        return json.loads(out.read_text())
+
+    def test_cheapest_passing_config_wins(self, tmp_path):
+        # all-bf16 fails (20% FID), decode=high arm passes (1%)
+        dec = self._run(self._report(
+            {"gen_bf16": 0.20, "gen_fast": 0.01,
+             "gen_mixed_high": 0.005, "serving_mixed": 0.0}), tmp_path)
+        assert dec["chosen"]["arm"] == "gen_fast"
+        assert dec["chosen"]["MLD_TPU_STAGE_PRECISION"] == "decode=high"
+        assert not dec["arms"]["gen_bf16"]["passes"]
+
+    def test_noise_floor_rescues_sub_floor_arm(self, tmp_path):
+        # 6% delta exceeds the 5% budget but noise floor is 8% -> pass
+        rep = self._report({"gen_bf16": 0.06})
+        rep["noise_seed8"]["FID"] = 108.0
+        dec = self._run(rep, tmp_path)
+        assert dec["noise_floor"]["FID"] == pytest.approx(0.08)
+        assert dec["chosen"]["arm"] == "gen_bf16"
+
+    def test_all_failing_falls_back_to_f32(self, tmp_path):
+        dec = self._run(self._report(
+            {"gen_bf16": 0.5, "gen_fast": 0.5, "gen_mixed_high": 0.5,
+             "serving_mixed": 0.5}), tmp_path)
+        assert dec["chosen"]["arm"] == "highest"
+        assert dec["chosen"]["MLD_TPU_MATMUL_PRECISION"] == "highest"
