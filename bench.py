@@ -15,18 +15,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Serving configuration: bf16-pass matmuls (XLA "default") where the FLOPs
-# are (the frozen CLIP tower, ~94% of program FLOPs), full-f32 on the
-# latency-bound DDIM scan + VAE decode. Basis: the r4 precision study on a
-# trained model (docs/precision_report_r4.json; scripts/precision_study.py)
-# — ALL-bf16 serving shifts FID 12.9%, outside the 5% parity budget, and
-# the per-stage arms localize the shift to scan+decode, where f32 is
-# nearly free. Training/parity code paths keep full-f32 ("highest") as the
-# library default. Override with MLD_TPU_MATMUL_PRECISION=highest
-# MLD_TPU_STAGE_PRECISION= for an all-f32 run.
+# Serving configuration: all-bf16-pass matmuls (XLA "default"). Basis: the
+# r5 per-stage precision study on the converged synthetic model
+# (docs/precision_report_r5.json, decision docs/precision_decision_r5.json
+# via scripts/precision_decide.py): with an f32 evaluator as the measuring
+# stick, every per-stage and composite bf16 arm lands within 0.2% FID /
+# 0.5% R-precision of full-f32 — two orders of magnitude inside both the
+# 5% parity budget and the 14.4% seed-noise floor. The r4 f32 pin
+# (scan=highest,decode=highest, BENCH_r04 2,098 motions/s) rested on the
+# global-"default" arm that also ran the EVALUATOR at bf16; the clean
+# per-stage arms retire it. Training/parity code paths keep full-f32
+# ("highest") as the library default. Override with
+# MLD_TPU_MATMUL_PRECISION=highest for an all-f32 run.
 os.environ.setdefault("MLD_TPU_MATMUL_PRECISION", "default")
-os.environ.setdefault("MLD_TPU_STAGE_PRECISION",
-                      "scan=highest,decode=highest")
+os.environ.setdefault("MLD_TPU_STAGE_PRECISION", "")
 
 import jax
 import jax.numpy as jnp

@@ -65,11 +65,11 @@ def main():
     p.add_argument("--json", default=None)
     args = p.parse_args()
 
+    # shipped serving config (bench.py): all-bf16 matmul passes, no
+    # per-stage f32 pin — decided by docs/precision_decision_r5.json
+    # (every bf16 arm within 0.2% FID of f32; scripts/precision_decide.py)
     os.environ.setdefault("MLD_TPU_MATMUL_PRECISION", "default")
-    # shipped serving config (bench.py, docs/precision_report_r4.json):
-    # bf16 CLIP, f32 scan+decode. MLD_TPU_STAGE_PRECISION= for all-bf16.
-    os.environ.setdefault("MLD_TPU_STAGE_PRECISION",
-                          "scan=highest,decode=highest")
+    os.environ.setdefault("MLD_TPU_STAGE_PRECISION", "")
     from mld_tpu.config import load_config
     from mld_tpu.models.mld import MLD, lengths_to_mask
 
